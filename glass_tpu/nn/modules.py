@@ -1,0 +1,252 @@
+"""GLASS model family as flax.linen modules.
+
+Semantics mirror the reference model layer (impl/models.py) with file:line
+citations per class; the *implementation* is TPU-native: the adjacency is a
+prebuilt static :class:`~glass_tpu.ops.graph.Graph` (dense-MXU or sorted-COO
+segment-sum SpMM), the labeling-trick mix is a ``jnp.where`` that XLA fuses
+into the surrounding matmuls, and pooling is the dense masked gather-reduce of
+``ops.segment`` — no scatter, no dynamic shapes, everything jit-compiled once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from glass_tpu.ops.graph import Graph
+from glass_tpu.ops.spmm import spmm
+from glass_tpu.ops.segment import pool_subgraphs
+from glass_tpu.ops.norm import graph_norm
+from glass_tpu.nn.init import (
+    torch_linear_kernel_init,
+    make_torch_bias_init,
+    normal_embedding_init,
+)
+
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "elu": jax.nn.elu,
+    "gelu": jax.nn.gelu,
+    "tanh": jnp.tanh,
+}
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch nn.Linear's init distribution (see nn.init)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", torch_linear_kernel_init, (fan_in, self.features))
+        bias = self.param("bias", make_torch_bias_init(fan_in), (self.features,))
+        return x @ kernel + bias
+
+
+class GraphNorm(nn.Module):
+    """Learnable GraphNorm, whole-graph statistics (reference: PyG 1.7.2
+    GraphNorm called with batch=None everywhere, impl/models.py:141,201)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        f = x.shape[-1]
+        weight = self.param("weight", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        mean_scale = self.param("mean_scale", nn.initializers.ones, (f,))
+        return graph_norm(x, weight, bias, mean_scale, self.eps)
+
+
+class MLP(nn.Module):
+    """Multi-layer perceptron with the reference's exact layer ordering
+    (impl/models.py:27-80): Linear [-> GraphNorm] [-> Dropout] -> act -> ...
+    ``tail_activation`` appends the norm/dropout/act block after the last
+    Linear as well."""
+
+    hidden_channels: int
+    output_channels: int
+    num_layers: int
+    dropout: float = 0.0
+    tail_activation: bool = False
+    activation: str = "relu"
+    gn: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, training: bool = False):
+        act = ACTIVATIONS[self.activation]
+
+        def block(h):
+            if self.gn:
+                h = GraphNorm()(h)
+            if self.dropout > 0:
+                h = nn.Dropout(self.dropout)(h, deterministic=not training)
+            return act(h)
+
+        if self.num_layers == 1:
+            x = TorchLinear(self.output_channels)(x)
+            if self.tail_activation:
+                x = block(x)
+            return x
+        x = TorchLinear(self.hidden_channels)(x)
+        for _ in range(self.num_layers - 2):
+            x = block(x)
+            x = TorchLinear(self.hidden_channels)(x)
+        x = block(x)
+        x = TorchLinear(self.output_channels)(x)
+        if self.tail_activation:
+            x = block(x)
+        return x
+
+
+class GLASSConv(nn.Module):
+    """The labeling-trick dual-weight message-passing layer
+    (reference: impl/models.py:114-174).
+
+    Forward: two parallel Linears transform all nodes; features are mixed by
+    the zero-one mask with ratio ``z_ratio`` (in-subgraph nodes lean on the
+    "1" transform, others on the "0" transform); then SpMM aggregation,
+    GraphNorm, dropout, JK-style concat with the input, and a second
+    dual-Linear mixed combine. The mask mix lowers to a fused select on the
+    VPU; both Linears batch over all N nodes so the MXU stays busy.
+    """
+
+    out_channels: int
+    z_ratio: float = 0.8
+    dropout: float = 0.2
+    activation: str = "relu"
+    spmm_mode: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, graph: Graph, x_, mask, *, training: bool = False):
+        act = ACTIVATIONS[self.activation]
+        zr = self.z_ratio
+        x1 = act(TorchLinear(self.out_channels, name="trans_1")(x_))
+        x0 = act(TorchLinear(self.out_channels, name="trans_0")(x_))
+        x = jnp.where(mask, zr * x1 + (1 - zr) * x0, zr * x0 + (1 - zr) * x1)
+        x = spmm(graph, x, self.spmm_mode)
+        x = GraphNorm(name="gn")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=not training)
+        x = jnp.concatenate([x, x_], axis=-1)
+        x1 = TorchLinear(self.out_channels, name="comb_1")(x)
+        x0 = TorchLinear(self.out_channels, name="comb_0")(x)
+        return jnp.where(mask, zr * x1 + (1 - zr) * x0, zr * x0 + (1 - zr) * x1)
+
+
+class EmbZGConv(nn.Module):
+    """GLASS trunk: integer-feature embedding + stacked GLASSConvs with
+    per-layer GraphNorm/activation/dropout and Jumping-Knowledge concat
+    (reference: impl/models.py:177-272).
+
+    Parity notes: JK concatenates each conv's *pre-norm* output
+    (impl/models.py:253-261 appends before gns[layer]); the final GraphNorm is
+    applied after the JK concat (or to the last layer output when jk=False).
+    """
+
+    hidden_channels: int
+    output_channels: int
+    num_layers: int
+    max_deg: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    z_ratio: float = 0.8
+    conv_dropout: Optional[float] = None  # defaults to `dropout`
+    jk: bool = True
+    gn: bool = True
+    spmm_mode: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, graph: Graph, x, z=None, *, training: bool = False):
+        # x: (N,) int32 feature ids; z: (N,) zero-one labels or None.
+        act = ACTIVATIONS[self.activation]
+        if z is None:
+            mask = jnp.zeros((x.shape[0], 1), dtype=bool)
+        else:
+            mask = (z > 0.5).reshape(-1, 1)
+
+        h = nn.Embed(
+            self.max_deg + 1,
+            self.hidden_channels,
+            embedding_init=normal_embedding_init,
+            name="input_emb",
+        )(x)
+        h = GraphNorm(name="emb_gn")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=not training)
+
+        conv_dropout = self.dropout if self.conv_dropout is None else self.conv_dropout
+        xs = []
+        for layer in range(self.num_layers):
+            last = layer == self.num_layers - 1
+            out_ch = self.output_channels if last else self.hidden_channels
+            h = GLASSConv(
+                out_channels=out_ch,
+                z_ratio=self.z_ratio,
+                dropout=conv_dropout,
+                activation=self.activation,
+                spmm_mode=self.spmm_mode,
+                name=f"conv_{layer}",
+            )(graph, h, mask, training=training)
+            xs.append(h)
+            if not last:
+                if self.gn:
+                    h = GraphNorm(name=f"gn_{layer}")(h)
+                h = act(h)
+                h = nn.Dropout(self.dropout)(h, deterministic=not training)
+
+        h = jnp.concatenate(xs, axis=-1) if self.jk else xs[-1]
+        if self.gn:
+            h = GraphNorm(name="gn_out")(h)
+        return h
+
+
+class GLASS(nn.Module):
+    """Full GLASS model: trunk + per-task pooling + per-task prediction head
+    (reference: impl/models.py:322-355 and driver assembly GLASSTest.py:129-175).
+
+    ``output_channels``/``pools`` are per-task tuples (multi-task-capable like
+    the reference's preds/pools ModuleLists); task selection via static ``id``.
+    The prediction head is a single Linear as in the reference driver.
+    """
+
+    max_deg: int
+    hidden_channels: int
+    num_layers: int
+    output_channels: Tuple[int, ...]
+    pools: Tuple[str, ...]
+    dropout: float = 0.0
+    activation: str = "elu"
+    z_ratio: float = 0.8
+    jk: bool = True
+    spmm_mode: Optional[str] = None
+
+    def setup(self):
+        self.conv = EmbZGConv(
+            hidden_channels=self.hidden_channels,
+            output_channels=self.hidden_channels,
+            num_layers=self.num_layers,
+            max_deg=self.max_deg,
+            dropout=self.dropout,
+            activation=self.activation,
+            z_ratio=self.z_ratio,
+            jk=self.jk,
+            gn=True,
+            spmm_mode=self.spmm_mode,
+        )
+        self.preds = [TorchLinear(c, name=f"pred_{i}") for i, c in enumerate(self.output_channels)]
+
+    def node_emb(self, graph: Graph, x, z=None, *, training: bool = False):
+        """Per-channel trunk application, averaged (reference NodeEmb,
+        impl/models.py:336-344; the channel dim is 1 in every config)."""
+        embs = [
+            self.conv(graph, x[:, c], z, training=training) for c in range(x.shape[1])
+        ]
+        return sum(embs) / len(embs)
+
+    def __call__(self, graph: Graph, x, pos, z=None, *, training: bool = False, id: int = 0):
+        emb = self.node_emb(graph, x, z, training=training)
+        pooled = pool_subgraphs(emb, pos, self.pools[id])
+        return self.preds[id](pooled)

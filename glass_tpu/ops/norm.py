@@ -1,0 +1,44 @@
+"""GraphNorm and GraphSizeNorm.
+
+GraphNorm (Cai et al. 2020) as implemented by PyG 1.7.2, which the reference
+uses everywhere with ``batch=None`` — i.e. the mean/variance statistics are
+taken over *all* nodes of the big background graph (reference:
+impl/models.py:141,165,201,249 and SURVEY.md §2.3). Exact formula parity
+matters for activation-level golden tests:
+
+    mean = mean_n(x)                       # per feature
+    out  = x - mean * mean_scale           # learnable mean scale (alpha)
+    var  = mean_n(out^2)                   # NOT re-centered
+    y    = weight * out / sqrt(var + eps) + bias,   eps = 1e-5
+
+These are plain VPU reductions; XLA fuses them into surrounding elementwise
+work, so no custom kernel is needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def graph_norm(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    mean_scale: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Whole-graph GraphNorm (PyG 1.7.2 semantics with batch=None)."""
+    mean = x.mean(axis=0)
+    out = x - mean * mean_scale
+    var = (out * out).mean(axis=0)
+    return weight * out / jnp.sqrt(var + eps) + bias
+
+
+def graph_size_norm(x: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
+    """x_i / sqrt(|G_i|) given per-row subgraph sizes (PyG GraphSizeNorm).
+
+    Reference: impl/models.py:310-319 (SizePool). In this framework the
+    size pool is fused directly in ops.segment.pool_subgraphs; this exists for
+    standalone use.
+    """
+    return x / jnp.sqrt(jnp.maximum(counts, 1.0))[:, None]

@@ -1,0 +1,74 @@
+"""Sparse matrix x dense matrix product (message passing aggregation).
+
+This is the hot loop of every GNN layer (reference: impl/models.py:164
+``adj @ x``). Three TPU execution strategies, selected per-graph:
+
+- ``dense``   : ``A @ X`` on the MXU. For the GLASS-scale graphs (<=17k nodes,
+                hidden <= 64) a dense matmul at ~200 TFLOP/s beats any sparse
+                formulation; the adjacency is built once and lives in HBM.
+- ``segment`` : gather sources + ``segment_sum`` into sorted destination rows.
+                Scales to graphs whose dense adjacency does not fit; also the
+                CPU/testing reference path.
+- ``pallas``  : blocked CSR kernel (see glass_tpu/ops/pallas_spmm.py) that
+                tiles rows onto the VPU/MXU; used when the dense adjacency is
+                too large but edges/s matters.
+
+All strategies produce identical results up to float addition order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from glass_tpu.ops.graph import Graph
+
+
+def spmm_segment(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
+    """out[row] += weight * x[col] via gather + sorted segment-sum."""
+    gathered = x[graph.col] * graph.weight[:, None]
+    return jax.ops.segment_sum(
+        gathered,
+        graph.row,
+        num_segments=graph.n_node,
+        indices_are_sorted=True,
+    )
+
+
+def spmm_dense(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
+    """out = A @ x on the MXU using the materialized dense adjacency.
+
+    HIGHEST precision = full-f32 accumulation on the MXU (3/6-pass bf16);
+    required for activation parity with the f32 reference, and still far
+    faster than any scatter path at these sizes.
+    """
+    assert graph.dense is not None, "graph was built without a dense adjacency"
+    return jnp.dot(
+        graph.dense,
+        x,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarray:
+    """Computes ``A @ x`` with the normalized adjacency held by ``graph``.
+
+    Args:
+      graph: a :class:`Graph`.
+      x: (n_node, F) node features.
+      mode: "dense" | "segment" | "pallas" | None (auto: dense if available).
+    """
+    if mode is None:
+        mode = "dense" if graph.dense is not None else "segment"
+    if mode == "dense":
+        return spmm_dense(graph, x)
+    if mode == "segment":
+        return spmm_segment(graph, x)
+    if mode == "pallas":
+        from glass_tpu.ops.pallas_spmm import spmm_pallas
+
+        return spmm_pallas(graph, x)
+    raise ValueError(f"unknown spmm mode {mode!r}")

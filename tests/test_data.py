@@ -1,0 +1,85 @@
+"""Dataset layer tests against the bundled synthetic data and the measured
+inventory in SURVEY.md §2.6."""
+
+import numpy as np
+import pytest
+
+from glass_tpu.data.basegraph import BaseGraphData, undirect, is_undirected
+from glass_tpu.data.loaders import (
+    load_dataset,
+    load_synthetic,
+    random_synthetic_mask,
+)
+
+
+def test_undirect_coalesces():
+    ei = np.array([[0, 1, 2], [1, 2, 0]])
+    u = undirect(ei)
+    assert is_undirected(u)
+    assert u.shape[1] == 6
+    # self-loop is kept once
+    ei2 = np.array([[0, 1], [0, 0]])
+    u2 = undirect(ei2)
+    pairs = set(map(tuple, u2.T.tolist()))
+    assert (0, 0) in pairs and (0, 1) in pairs and (1, 0) in pairs
+    assert u2.shape[1] == 3
+
+
+def test_density_inventory():
+    """Measured inventory from SURVEY.md §2.6: 4,998 nodes, 29,962 undirected
+    pairs, 250 subgraphs of size 20, 3 classes."""
+    base = load_dataset("density", np.random.default_rng(0))
+    assert base.n_node == 4998
+    assert base.edge_index.shape[1] == 2 * 29962
+    assert is_undirected(base.edge_index)
+    assert base.pos.shape == (250, 20)
+    assert set(np.unique(base.y)) == {0, 1, 2}
+    assert not base.binary
+    assert base.output_channels == 3
+
+
+def test_synthetic_split_protocol():
+    mask = random_synthetic_mask(250, np.random.default_rng(0))
+    # 50/25/25: train = 250-125=125, val = 62, test = 63
+    assert (mask == 0).sum() == 125
+    assert (mask == 1).sum() == 62
+    assert (mask == 2).sum() == 63
+    # re-rolled per call with a fresh rng (reference re-splits per repeat)
+    mask2 = random_synthetic_mask(250, np.random.default_rng(1))
+    assert (mask != mask2).any()
+
+
+def test_feature_initializers():
+    base = load_dataset("density", np.random.default_rng(0))
+    base.set_one_feature()
+    assert base.x.shape == (4998, 1) and base.max_deg == 1
+    base.set_degree_feature()
+    assert base.x.min() >= 0
+    # degree buckets are contiguous ranks
+    assert set(np.unique(base.x)) == set(range(base.max_deg + 1))
+    base.set_node_id_feature()
+    assert base.x[17, 0] == 17 and base.max_deg == 4997
+
+
+def test_get_split_partitions():
+    base = load_dataset("density", np.random.default_rng(0))
+    tr, va, te = (base.get_split(s)[0].shape[0] for s in ("train", "valid", "test"))
+    assert tr + va + te == 250
+
+
+def test_lp_dataset():
+    base = load_dataset("density", np.random.default_rng(0))
+    pos, y = base.get_lp_dataset(np.random.default_rng(0))
+    e = base.edge_index.shape[1]
+    assert pos.shape == (2 * e, 2)
+    assert y[:e].all() and not y[e:].any()
+    # negatives are non-edges
+    existing = set(map(tuple, base.edge_index.T.tolist()))
+    neg = pos[e:]
+    for a, b in neg[:200]:
+        assert (a, b) not in existing and a != b
+
+
+def test_real_dataset_missing_raises():
+    with pytest.raises(FileNotFoundError, match="subgraphs.pth"):
+        load_dataset("ppi_bp", data_root="/nonexistent")
