@@ -1,0 +1,108 @@
+"""GLASS experiment CLI — flag-compatible with the reference driver
+(reference: GLASSTest.py:14-30 argparse surface, 272-279 main flow).
+
+Usage:
+    python -m glass_tpu.cli.glass_test --dataset density --use_one \
+        --use_maxzeroone --use_seed --repeat 10
+
+Differences from the reference, by design:
+- ``--device`` selects the JAX platform ("tpu" default when available, "cpu"
+  with -1) instead of a CUDA index.
+- ``--spmm`` picks the SpMM execution strategy (auto/dense/segment/pallas).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="GLASS on TPU")
+    parser.add_argument("--dataset", type=str, default="ppi_bp")
+    parser.add_argument("--use_deg", action="store_true")
+    parser.add_argument("--use_one", action="store_true")
+    parser.add_argument("--use_nodeid", action="store_true")
+    parser.add_argument("--use_maxzeroone", action="store_true")
+    parser.add_argument("--repeat", type=int, default=1)
+    parser.add_argument("--device", type=int, default=0,
+                        help="-1 forces the CPU backend; otherwise default platform")
+    parser.add_argument("--use_seed", action="store_true")
+    parser.add_argument("--spmm", type=str, default=None,
+                        choices=["dense", "segment", "pallas"],
+                        help="SpMM strategy override (default: auto)")
+    parser.add_argument("--config_dir", type=str, default=None)
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--emb_path", type=str, default="Emb",
+                        help="directory with pretrained {dataset}_{hidden}.npz tables")
+    parser.add_argument("--max_epochs", type=int, default=300)
+    return parser
+
+
+def load_config(dataset: str, config_dir: str | None) -> dict:
+    cdir = Path(config_dir) if config_dir else Path(__file__).parent.parent / "configs"
+    with open(cdir / f"{dataset}.yml") as f:
+        return yaml.safe_load(f)
+
+
+def load_pretrained_table(emb_path: str, dataset: str, hidden_dim: int):
+    """Loads a pretrained node-embedding table saved by the gnn_emb CLI
+    (``.npz`` with key 'embedding'; contract of reference GNNEmb.py:186-188)."""
+    p = Path(emb_path) / f"{dataset}_{hidden_dim}.npz"
+    if not p.exists():
+        raise FileNotFoundError(
+            f"pretrained embedding {p} not found; run `python -m "
+            f"glass_tpu.cli.gnn_emb --dataset {dataset}` first"
+        )
+    return np.load(p)["embedding"]
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+
+    import jax
+
+    if args.device == -1:
+        jax.config.update("jax_platforms", "cpu")
+
+    from glass_tpu.train.protocol import ExperimentConfig, run_experiment
+
+    params = load_config(args.dataset, args.config_dir)
+    print(args)
+    print("params", params, flush=True)
+
+    if args.use_deg:
+        feature = "deg"
+    elif args.use_one:
+        feature = "one"
+    elif args.use_nodeid:
+        feature = "nodeid"
+    else:
+        raise NotImplementedError("pick one of --use_deg / --use_one / --use_nodeid")
+
+    node_emb = None
+    if args.use_nodeid:
+        node_emb = load_pretrained_table(
+            args.emb_path, args.dataset, params.get("hidden_dim", 64)
+        )
+
+    cfg = ExperimentConfig(
+        dataset=args.dataset,
+        feature=feature,
+        use_maxzeroone=args.use_maxzeroone,
+        repeat=args.repeat,
+        max_epochs=args.max_epochs,
+        spmm_mode=args.spmm,
+        node_emb=node_emb,
+        data_root=args.data_root,
+        **params,
+    )
+    _, mean, err = run_experiment(cfg)
+    return mean, err
+
+
+if __name__ == "__main__":
+    main()

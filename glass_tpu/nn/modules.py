@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from glass_tpu.ops.graph import Graph
-from glass_tpu.ops.spmm import spmm
+from glass_tpu.ops.spmm import spmm, gather_global
 from glass_tpu.ops.segment import pool_subgraphs
 from glass_tpu.ops.norm import graph_norm
 from glass_tpu.nn.init import (
@@ -49,16 +49,25 @@ class TorchLinear(nn.Module):
 
 class GraphNorm(nn.Module):
     """Learnable GraphNorm, whole-graph statistics (reference: PyG 1.7.2
-    GraphNorm called with batch=None everywhere, impl/models.py:141,201)."""
+    GraphNorm called with batch=None everywhere, impl/models.py:141,201).
+
+    Pass ``graph`` when x is node-partitioned (shard_map): statistics are then
+    reduced globally over the partition axis with padded rows masked."""
 
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, graph: Optional[Graph] = None):
         f = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (f,))
         bias = self.param("bias", nn.initializers.zeros, (f,))
         mean_scale = self.param("mean_scale", nn.initializers.ones, (f,))
+        if graph is not None and graph.axis is not None:
+            return graph_norm(
+                x, weight, bias, mean_scale, self.eps,
+                axis=graph.axis, node_mask=graph.node_mask(),
+                n_total=graph.n_global,
+            )
         return graph_norm(x, weight, bias, mean_scale, self.eps)
 
 
@@ -129,7 +138,7 @@ class GLASSConv(nn.Module):
         x0 = act(TorchLinear(self.out_channels, name="trans_0")(x_))
         x = jnp.where(mask, zr * x1 + (1 - zr) * x0, zr * x0 + (1 - zr) * x1)
         x = spmm(graph, x, self.spmm_mode)
-        x = GraphNorm(name="gn")(x)
+        x = GraphNorm(name="gn")(x, graph)
         x = nn.Dropout(self.dropout)(x, deterministic=not training)
         x = jnp.concatenate([x, x_], axis=-1)
         x1 = TorchLinear(self.out_channels, name="comb_1")(x)
@@ -174,7 +183,7 @@ class EmbZGConv(nn.Module):
             embedding_init=normal_embedding_init,
             name="input_emb",
         )(x)
-        h = GraphNorm(name="emb_gn")(h)
+        h = GraphNorm(name="emb_gn")(h, graph)
         h = nn.Dropout(self.dropout)(h, deterministic=not training)
 
         conv_dropout = self.dropout if self.conv_dropout is None else self.conv_dropout
@@ -193,13 +202,13 @@ class EmbZGConv(nn.Module):
             xs.append(h)
             if not last:
                 if self.gn:
-                    h = GraphNorm(name=f"gn_{layer}")(h)
+                    h = GraphNorm(name=f"gn_{layer}")(h, graph)
                 h = act(h)
                 h = nn.Dropout(self.dropout)(h, deterministic=not training)
 
         h = jnp.concatenate(xs, axis=-1) if self.jk else xs[-1]
         if self.gn:
-            h = GraphNorm(name="gn_out")(h)
+            h = GraphNorm(name="gn_out")(h, graph)
         return h
 
 
@@ -248,5 +257,5 @@ class GLASS(nn.Module):
 
     def __call__(self, graph: Graph, x, pos, z=None, *, training: bool = False, id: int = 0):
         emb = self.node_emb(graph, x, z, training=training)
-        pooled = pool_subgraphs(emb, pos, self.pools[id])
+        pooled = pool_subgraphs(gather_global(graph, emb), pos, self.pools[id])
         return self.preds[id](pooled)

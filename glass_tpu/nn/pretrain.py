@@ -17,6 +17,7 @@ import flax.linen as nn
 from glass_tpu.ops.graph import Graph
 from glass_tpu.ops.spmm import spmm
 from glass_tpu.ops.segment import mean_over_nodes
+from glass_tpu.ops.spmm import gather_global
 from glass_tpu.nn.modules import (
     ACTIVATIONS,
     TorchLinear,
@@ -39,7 +40,7 @@ class MyGCNConv(nn.Module):
         act = ACTIVATIONS[self.activation]
         x = act(TorchLinear(self.out_channels, name="trans")(x_))
         x = spmm(graph, x, self.spmm_mode)
-        x = GraphNorm(name="gn")(x)
+        x = GraphNorm(name="gn")(x, graph)
         x = jnp.concatenate([x, x_], axis=-1)
         return TorchLinear(self.out_channels, name="comb")(x)
 
@@ -85,7 +86,7 @@ class EmbGConv(nn.Module):
             )(graph, h, training=training)
             if not last:
                 if self.gn:
-                    h = GraphNorm(name=f"gn_{layer}")(h)
+                    h = GraphNorm(name=f"gn_{layer}")(h, graph)
                 xs.append(h)
                 h = act(h)
                 h = nn.Dropout(self.dropout)(h, deterministic=not training)
@@ -136,5 +137,5 @@ class EdgeGNN(nn.Module):
 
     def __call__(self, graph: Graph, x, pos, z=None, *, training: bool = False, id: int = 0):
         emb = self.node_emb(graph, x, z, training=training)
-        pooled = mean_over_nodes(emb, pos)  # (B, 2) edge endpoints
+        pooled = mean_over_nodes(gather_global(graph, emb), pos)  # (B, 2) endpoints
         return self.pred(pooled, training=training)

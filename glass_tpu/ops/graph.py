@@ -51,15 +51,32 @@ class Graph:
 
     Attributes:
       row:    (E_pad,) int32, destination node of each directed edge, ascending.
-      col:    (E_pad,) int32, source node of each directed edge.
+              When sharded (``axis`` set), these are *local* row indices in
+              [0, n_node) of this shard's node block.
+      col:    (E_pad,) int32, source node of each directed edge. Always
+              *global* node ids (they index the all-gathered features when
+              sharded).
       weight: (E_pad,) float32, normalized edge weight; 0.0 on padding edges.
-      dense:  optional (n_node, n_node) float32 dense normalized adjacency
-              (dense[row, col] = weight) for the MXU SpMM path.
-      n_node: static node count (not padded — GraphNorm statistics are taken
-              over all nodes of the big graph, so padding nodes would poison
-              them; XLA handles non-multiple-of-128 dims internally).
-      n_edge: static real (unpadded) directed edge count.
+      dense:  optional (n_node, n_node_global) float32 dense normalized
+              adjacency (dense[row, col] = weight) for the MXU SpMM path;
+              when sharded this is the shard's row-block of the global matrix.
+      n_node: static (local) node count. Unsharded graphs are not padded —
+              GraphNorm statistics are taken over all nodes of the big graph,
+              so padding nodes would poison them; XLA handles
+              non-multiple-of-128 dims internally. Sharded graphs pad the
+              *last* block (see parallel/partition.py) and mask it out of
+              statistics via ``node_mask``.
+      n_edge: static real (unpadded) directed edge count (this shard's).
       aggr:   which normalization was applied ("mean" | "sum" | "gcn").
+      axis:   mesh axis name this graph is node-partitioned over, or None.
+      n_node_global: static global node count (== n_node when unsharded).
+
+    Sharding model (the "tensor parallelism" of this domain — SURVEY.md §2.4):
+    nodes are partitioned into contiguous equal blocks of size n_node =
+    ceil(N / K) (only the last block carries padding, so global ids are
+    preserved); each shard owns its block's rows and all edges *into* them.
+    Per layer, features are all-gathered over ``axis`` (halo exchange) and the
+    local segment-sum/dense SpMM produces the owned rows.
     """
 
     row: jnp.ndarray
@@ -69,6 +86,28 @@ class Graph:
     n_node: int = struct.field(pytree_node=False)
     n_edge: int = struct.field(pytree_node=False)
     aggr: str = struct.field(pytree_node=False, default="sum")
+    axis: Optional[str] = struct.field(pytree_node=False, default=None)
+    n_node_global: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def n_global(self) -> int:
+        """Global node count (valid for sharded and unsharded graphs)."""
+        return self.n_node_global if self.axis is not None else self.n_node
+
+    def node_offset(self) -> jnp.ndarray:
+        """This shard's first global node id (traced; 0 when unsharded)."""
+        if self.axis is None:
+            return jnp.int32(0)
+        import jax
+
+        return jax.lax.axis_index(self.axis).astype(jnp.int32) * self.n_node
+
+    def node_mask(self) -> Optional[jnp.ndarray]:
+        """(n_node,) bool marking real (non-padding) rows; None if all real."""
+        if self.axis is None:
+            return None
+        ids = self.node_offset() + jnp.arange(self.n_node, dtype=jnp.int32)
+        return ids < self.n_node_global
 
 
 def normalized_edge_weight(

@@ -35,6 +35,21 @@ def max_zero_one(pos: jnp.ndarray, n_node: int) -> jnp.ndarray:
     return jnp.zeros(n_node, dtype=jnp.int32).at[safe].max(vals)
 
 
+def max_zero_one_local(pos: jnp.ndarray, n_local: int, offset) -> jnp.ndarray:
+    """Zero-one labels restricted to a node block [offset, offset + n_local).
+
+    The sharded counterpart of :func:`max_zero_one` for node-partitioned
+    training: each shard labels only the nodes it owns. Taking the pmax over a
+    data-parallel axis afterwards reproduces the reference's whole-batch
+    "max" semantics across device sub-batches.
+    """
+    idx = pos - offset
+    valid = (pos >= 0) & (idx >= 0) & (idx < n_local)
+    safe = jnp.where(valid, idx, 0).ravel()
+    vals = valid.astype(jnp.int32).ravel()
+    return jnp.zeros(n_local, dtype=jnp.int32).at[safe].max(vals)
+
+
 def pad2batch(pad: np.ndarray):
     """[[0,2,3],[1,4,5],[6,7,-1]] -> batch [0,0,0,1,1,1,2,2], pos [0,2,3,...]."""
     pad = np.asarray(pad)

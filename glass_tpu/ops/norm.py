@@ -26,11 +26,36 @@ def graph_norm(
     bias: jnp.ndarray,
     mean_scale: jnp.ndarray,
     eps: float = 1e-5,
+    *,
+    axis: str | None = None,
+    node_mask: jnp.ndarray | None = None,
+    n_total: int | None = None,
 ) -> jnp.ndarray:
-    """Whole-graph GraphNorm (PyG 1.7.2 semantics with batch=None)."""
-    mean = x.mean(axis=0)
+    """Whole-graph GraphNorm (PyG 1.7.2 semantics with batch=None).
+
+    When ``axis`` is given (inside shard_map over a node partition), the
+    statistics are computed globally with a psum over the axis; ``node_mask``
+    excludes padded rows of the local block and ``n_total`` is the global
+    (real) node count. Identical numerics to the unsharded path up to float
+    reduction order.
+    """
+    if axis is None:
+        mean = x.mean(axis=0)
+        out = x - mean * mean_scale
+        var = (out * out).mean(axis=0)
+        return weight * out / jnp.sqrt(var + eps) + bias
+
+    import jax
+
+    assert n_total is not None
+    if node_mask is not None:
+        xm = jnp.where(node_mask[:, None], x, 0.0)
+    else:
+        xm = x
+    mean = jax.lax.psum(xm.sum(axis=0), axis) / n_total
     out = x - mean * mean_scale
-    var = (out * out).mean(axis=0)
+    outm = jnp.where(node_mask[:, None], out, 0.0) if node_mask is not None else out
+    var = jax.lax.psum((outm * outm).sum(axis=0), axis) / n_total
     return weight * out / jnp.sqrt(var + eps) + bias
 
 

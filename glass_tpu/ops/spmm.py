@@ -26,9 +26,24 @@ import jax.numpy as jnp
 from glass_tpu.ops.graph import Graph
 
 
+def gather_global(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
+    """Returns globally-indexed node features.
+
+    Unsharded: identity. Sharded (inside shard_map over ``graph.axis``): a
+    tiled all-gather over the node-partition axis — the halo exchange. Because
+    node blocks are contiguous and only the last is padded, the gathered array
+    is directly indexable by global node id.
+    """
+    if graph.axis is None:
+        return x
+    return jax.lax.all_gather(x, graph.axis, axis=0, tiled=True)
+
+
 def spmm_segment(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
-    """out[row] += weight * x[col] via gather + sorted segment-sum."""
-    gathered = x[graph.col] * graph.weight[:, None]
+    """out[row_local] += weight * x_global[col] via gather + sorted
+    segment-sum."""
+    xg = gather_global(graph, x)
+    gathered = xg[graph.col] * graph.weight[:, None]
     return jax.ops.segment_sum(
         gathered,
         graph.row,
@@ -38,16 +53,18 @@ def spmm_segment(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def spmm_dense(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
-    """out = A @ x on the MXU using the materialized dense adjacency.
+    """out = A @ x on the MXU using the materialized dense adjacency
+    (this shard's row block when sharded).
 
     HIGHEST precision = full-f32 accumulation on the MXU (3/6-pass bf16);
     required for activation parity with the f32 reference, and still far
     faster than any scatter path at these sizes.
     """
     assert graph.dense is not None, "graph was built without a dense adjacency"
+    xg = gather_global(graph, x)
     return jnp.dot(
         graph.dense,
-        x,
+        xg,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )

@@ -1,0 +1,150 @@
+"""Distributed tests on the host-simulated 8-device CPU mesh (SURVEY.md §4:
+"partitioned == replicated allclose" — the multi-node test the reference
+never had)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from glass_tpu.ops.graph import build_graph
+from glass_tpu.ops.spmm import spmm
+from glass_tpu.ops.labeling import max_zero_one, max_zero_one_local
+from glass_tpu.nn.modules import GLASS
+from glass_tpu.parallel.mesh import make_mesh
+from glass_tpu.parallel.partition import partition_graph
+from glass_tpu.parallel.train import ShardedTrainer
+from glass_tpu.train.loop import Trainer, TrainConfig
+
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def toy(rng, n=50, e=200):
+    src = rng.integers(0, n, size=e)
+    dst = rng.integers(0, n, size=e)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    return ei, n
+
+
+def test_partition_covers_all_edges(rng):
+    ei, n = toy(rng)
+    pg = partition_graph(ei, None, n, "gcn", 4)
+    assert pg.n_edge == ei.shape[1]
+    assert (pg.weight != 0).sum() == pg.n_edge
+    # every real edge lands in the shard owning its destination row
+    g = build_graph(ei, None, n, "gcn", materialize_dense=False)
+    total = float(np.asarray(g.weight).sum())
+    np.testing.assert_allclose(pg.weight.sum(), total, rtol=1e-5)
+
+
+@pytest.mark.parametrize("use_dense", [False, True])
+def test_sharded_spmm_matches_unsharded(rng, use_dense):
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ei, n = toy(rng)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    ref = np.asarray(spmm(g, jnp.asarray(x), "dense"))
+
+    K = 4
+    pg = partition_graph(ei, None, n, "mean", K, materialize_dense=use_dense)
+    mesh = make_mesh(graph_shards=K, data_shards=2)
+    xp = pg.pad_nodes(x)
+
+    def body(x_loc, *gargs):
+        row, col, w = gargs[:3]
+        dense = gargs[3] if use_dense else None
+        graph = pg.local_graph(row, col, w, dense, "graph")
+        return spmm(graph, x_loc, "dense" if use_dense else "segment")
+
+    gargs = [jnp.asarray(pg.row), jnp.asarray(pg.col), jnp.asarray(pg.weight)]
+    gspecs = [P("graph", None)] * 3
+    if use_dense:
+        gargs.append(jnp.asarray(pg.dense))
+        gspecs.append(P("graph", None, None))
+
+    out = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None),
+        check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_max_zero_one_local_blocks():
+    pos = jnp.asarray(np.array([[3, 12, -1]]))
+    full = np.asarray(max_zero_one(pos, 16))
+    parts = [np.asarray(max_zero_one_local(pos, 8, off)) for off in (0, 8)]
+    np.testing.assert_array_equal(np.concatenate(parts), full)
+
+
+def test_sharded_training_matches_single_device(rng):
+    """One train step on a (2 data x 4 graph) mesh must match the unsharded
+    Trainer step: same params in, allclose params out (dropout off).
+
+    Node features are varied (not uniform): with uniform features GraphNorm
+    sits in a zero-variance regime (std = sqrt(eps)) that amplifies f32
+    reduction-order noise ~300x, which would swamp the comparison."""
+    ei, n = toy(rng, n=50, e=200)
+    n_sub, L = 8, 5
+    pos = np.stack([rng.choice(n, size=L, replace=False) for _ in range(n_sub)])
+    y = rng.integers(0, 3, size=n_sub)
+
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=2,
+                  output_channels=(3,), pools=("size",), dropout=0.0,
+                  activation="elu", z_ratio=0.8, jk=True)
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    cfg = TrainConfig(lr=1e-2, batch_size=n_sub, loss="ce", use_z=True)
+
+    # single-device reference step
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, donate=False)
+    params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
+    rngk = jax.random.PRNGKey(7)
+    ref_params, _, _, ref_loss = ref_tr._epoch(
+        params, opt_state, plateau.lr, rngk,
+        jnp.asarray(pos[None]), jnp.asarray(y[None]),
+    )
+
+    # sharded step with the SAME initial params
+    pg = partition_graph(ei, None, n, "mean", 4)
+    mesh = make_mesh(graph_shards=4, data_shards=2)
+    st = ShardedTrainer(model, pg, x, cfg, mesh)
+    sh_params, sh_opt, sh_loss = st.train_step(
+        params, st.tx.init(params), plateau.lr, rngk, pos, y
+    )
+
+    np.testing.assert_allclose(float(sh_loss), float(ref_loss), rtol=1e-4)
+    # post-adam params: identical up to f32 reduction-order noise in the
+    # gradients (adam normalizes, so compare with an absolute tolerance a
+    # couple of orders below the 1e-2 step size)
+    for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(sh_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-2)
+
+
+def test_sharded_eval_matches_single_device(rng):
+    ei, n = toy(rng)
+    n_sub, L = 8, 5
+    pos = np.stack([rng.choice(n, size=L, replace=False) for _ in range(n_sub)])
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=1,
+                  output_channels=(3,), pools=("mean",), dropout=0.0,
+                  activation="elu", z_ratio=0.9, jk=True)
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    cfg = TrainConfig(batch_size=n_sub, loss="ce", use_z=True)
+
+    g = build_graph(ei, None, n, "gcn", materialize_dense=True)
+    ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg)
+    params, _, _ = ref_tr.init(3, jnp.asarray(pos))
+    ref_logits = ref_tr.evaluate(params, jnp.asarray(pos[None]), n_sub)
+
+    pg = partition_graph(ei, None, n, "gcn", 4)
+    mesh = make_mesh(graph_shards=4, data_shards=2)
+    st = ShardedTrainer(model, pg, x, cfg, mesh)
+    sh_logits = np.asarray(st.eval_step(params, pos))
+    np.testing.assert_allclose(sh_logits, ref_logits, rtol=1e-4, atol=1e-5)
