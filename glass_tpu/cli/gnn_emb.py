@@ -1,0 +1,80 @@
+"""SSL pretraining CLI — flag-compatible with the reference GNNEmb driver
+(reference: GNNEmb.py:12-33 argparse surface).
+
+Produces ``{path}/{name}_{hidden}.npz`` containing the best (N, hidden) node
+embedding table under key 'embedding' (the contract GLASSTest loads through
+``--use_nodeid``).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="SSL node-embedding pretraining")
+    parser.add_argument("--dataset", type=str, default="ppi_bp")
+    parser.add_argument("--use_deg", action="store_true")
+    parser.add_argument("--use_one", action="store_true")
+    parser.add_argument("--use_nodeid", action="store_true")
+    parser.add_argument("--repeat", type=int, default=1)
+    parser.add_argument("--optruns", type=int, default=100)
+    parser.add_argument("--path", type=str, default="Emb/")
+    parser.add_argument("--name", type=str, default=None,
+                        help="output / study name (default: dataset)")
+    parser.add_argument("--device", type=int, default=0)
+    parser.add_argument("--use_seed", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max_epochs", type=int, default=100)
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--spmm", type=str, default=None,
+                        choices=["dense", "segment", "pallas"])
+    return parser
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+
+    import jax
+
+    if args.device == -1:
+        jax.config.update("jax_platforms", "cpu")
+
+    from glass_tpu.train.ssl import SSLConfig, run_hpo
+
+    if args.use_one:
+        feature = "one"
+    elif args.use_nodeid:
+        feature = "nodeid"
+    else:
+        feature = "deg"  # reference recipe uses --use_deg
+
+    name = args.name or args.dataset
+    out_dir = Path(args.path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    hidden = 64
+
+    cfg = SSLConfig(
+        dataset=args.dataset,
+        feature=feature,
+        hidden_dim=hidden,
+        repeat=args.repeat,
+        max_epochs=args.max_epochs,
+        spmm_mode=args.spmm,
+        data_root=args.data_root,
+    )
+
+    def save_fn(emb: np.ndarray):
+        np.savez(out_dir / f"{name}_{hidden}.npz", embedding=emb)
+        print(f"saved {out_dir / f'{name}_{hidden}.npz'}", flush=True)
+
+    print(args)
+    storage = f"sqlite:///{out_dir / (name + '.db')}"
+    run_hpo(cfg, n_trials=args.optruns, save_fn=save_fn, storage=storage)
+
+
+if __name__ == "__main__":
+    main()
