@@ -51,45 +51,51 @@ def global_features(base: BaseGraphData, kind: str) -> np.ndarray:
     raise NotImplementedError(kind)
 
 
-def segregate(base: BaseGraphData, feature_kind: str) -> dict:
-    """Builds SegData for each split. L is the max subgraph size over the
-    whole dataset so all splits share one compiled shape."""
-    feats_full = global_features(base, feature_kind)
-    # adjacency set for induced-edge lookup
+def _induced_adj_numpy(base: BaseGraphData, pos: np.ndarray, L: int) -> np.ndarray:
     n = base.n_node
     ekeys = set(base.edge_index[0].astype(np.int64) * n + base.edge_index[1].astype(np.int64))
+    S = pos.shape[0]
+    adj = np.zeros((S, L, L), dtype=np.float32)
+    for i in range(S):
+        nodes = pos[i][pos[i] >= 0]
+        for j, v in enumerate(nodes):
+            for jj, w in enumerate(nodes):
+                if int(v) * n + int(w) in ekeys:
+                    adj[i, j, jj] += 1.0
+    return adj
 
+
+def segregate(base: BaseGraphData, feature_kind: str) -> dict:
+    """Builds SegData for each split. L is the max subgraph size over the
+    whole dataset so all splits share one compiled shape. The O(S*L*deg)
+    induced-edge extraction runs in the native host library when built
+    (native/glass_host.cpp glass_induced_subgraphs), numpy otherwise."""
+    from glass_tpu import native
+
+    feats_full = global_features(base, feature_kind)
     L = int((base.pos >= 0).sum(axis=1).max())
     out = {}
     for split in ("train", "valid", "test"):
         pos, y = base.get_split(split)
         S = pos.shape[0]
         F = feats_full.shape[1]
+        pos_w = np.full((S, L), -1, dtype=np.int64)
+        pos_w[:, : pos.shape[1]] = pos[:, :L]
+        adj_s = native.induced_subgraph_adj(base.edge_index, base.n_node, pos_w)
+        if adj_s is None:
+            adj_s = _induced_adj_numpy(base, pos_w, L)
         feats = np.zeros((S, L, F), dtype=np.float32)
-        adj_n = np.zeros((S, L, L), dtype=np.float32)
-        adj_s = np.zeros((S, L, L), dtype=np.float32)
         mask = np.zeros((S, L), dtype=bool)
         for i in range(S):
-            nodes = pos[i][pos[i] >= 0]
-            k = len(nodes)
-            mask[i, :k] = True
-            feats[i, :k] = feats_full[nodes]
-            # induced edges, relabeled
-            local = {int(v): j for j, v in enumerate(nodes)}
-            rows, cols = [], []
-            for j, v in enumerate(nodes):
-                for jj, w in enumerate(nodes):
-                    if int(v) * n + int(w) in ekeys:
-                        rows.append(j)
-                        cols.append(jj)
-            if rows:
-                adj_s[i, rows, cols] = 1.0
-                # PyG gcn_norm without self-loops: D^-1/2 A D^-1/2,
-                # 0-degree rows -> 0 (GNNSeg.py:267-268 add_self_loops=False)
-                deg = adj_s[i].sum(axis=1)
-                dis = np.where(deg > 0, deg, 1.0) ** -0.5
-                dis = np.where(deg > 0, dis, 0.0)
-                adj_n[i] = dis[:, None] * adj_s[i] * dis[None, :]
-        out[split] = SegData(feats=feats, adj_norm=adj_n, adj_sum=adj_s,
-                             mask=mask, y=y)
+            nodes = pos_w[i][pos_w[i] >= 0]
+            mask[i, : len(nodes)] = True
+            feats[i, : len(nodes)] = feats_full[nodes]
+        # PyG gcn_norm without self-loops: D^-1/2 A D^-1/2, 0-degree rows -> 0
+        # (GNNSeg.py:267-268 add_self_loops=False)
+        deg = adj_s.sum(axis=2)
+        dis = np.where(deg > 0, deg, 1.0) ** -0.5
+        dis = np.where(deg > 0, dis, 0.0)
+        adj_n = dis[:, :, None] * adj_s * dis[:, None, :]
+        out[split] = SegData(feats=feats, adj_norm=adj_n.astype(np.float32),
+                             adj_sum=adj_s, mask=mask, y=y)
     return out

@@ -1,0 +1,154 @@
+"""ctypes bindings for the native host runtime (native/glass_host.cpp).
+
+Every function has a numpy fallback, so the framework is fully functional
+without the compiled library; ``is_available()`` reports which path is live.
+Build with ``make -C native`` (plain g++, no extra deps).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_SEARCHED = False
+
+_I64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_I32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_F32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_F64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _SEARCHED
+    if _SEARCHED:
+        return _LIB
+    _SEARCHED = True
+    candidates = [
+        Path(__file__).parent.parent / "native" / "libglass_host.so",
+        Path(os.environ.get("GLASS_NATIVE_LIB", "/nonexistent")),
+    ]
+    for p in candidates:
+        if p.exists():
+            lib = ctypes.CDLL(str(p))
+            lib.glass_build_csr.restype = ctypes.c_int
+            lib.glass_build_csr.argtypes = [
+                _I64, _I64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, _I32, _I32, _F32, _F64,
+            ]
+            lib.glass_rcm.restype = ctypes.c_int
+            lib.glass_rcm.argtypes = [_I64, _I64, ctypes.c_int64, ctypes.c_int64, _I64]
+            lib.glass_negative_sample.restype = ctypes.c_int
+            lib.glass_negative_sample.argtypes = [
+                _I64, _I64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_uint64, _I64, _I64,
+            ]
+            lib.glass_induced_subgraphs.restype = ctypes.c_int
+            lib.glass_induced_subgraphs.argtypes = [
+                _I64, _I64, ctypes.c_int64, ctypes.c_int64, _I64,
+                ctypes.c_int64, ctypes.c_int64, _F32,
+            ]
+            _LIB = lib
+            break
+    return _LIB
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+_AGGR_CODE = {"sum": 0, "mean": 1, "gcn": 2}
+
+
+def build_csr(
+    edge_index: np.ndarray,
+    edge_weight: Optional[np.ndarray],
+    n_node: int,
+    aggr: str,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Native sorted+normalized edge arrays, or None if the lib is unbuilt."""
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(edge_index[0], dtype=np.int64)
+    col = np.ascontiguousarray(edge_index[1], dtype=np.int64)
+    e = row.shape[0]
+    out_row = np.empty(e, dtype=np.int32)
+    out_col = np.empty(e, dtype=np.int32)
+    out_w = np.empty(e, dtype=np.float32)
+    out_deg = np.empty(n_node, dtype=np.float64)
+    wptr = (
+        None
+        if edge_weight is None
+        else np.ascontiguousarray(edge_weight, dtype=np.float32).ctypes.data_as(
+            ctypes.c_void_p
+        )
+    )
+    rc = lib.glass_build_csr(
+        row, col, wptr, e, n_node, _AGGR_CODE[aggr], out_row, out_col, out_w, out_deg
+    )
+    if rc != 0:
+        raise RuntimeError(f"glass_build_csr failed with {rc}")
+    return out_row, out_col, out_w
+
+
+def rcm_ordering(edge_index: np.ndarray, n_node: int) -> np.ndarray:
+    """Reverse Cuthill-McKee permutation (perm[i] = old id at new slot i).
+    Falls back to scipy when the native lib is unbuilt."""
+    lib = _load()
+    row = np.ascontiguousarray(edge_index[0], dtype=np.int64)
+    col = np.ascontiguousarray(edge_index[1], dtype=np.int64)
+    if lib is not None:
+        out = np.empty(n_node, dtype=np.int64)
+        rc = lib.glass_rcm(row, col, row.shape[0], n_node, out)
+        if rc != 0:
+            raise RuntimeError(f"glass_rcm failed with {rc}")
+        return out
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    m = coo_matrix((np.ones(row.shape[0]), (row, col)), shape=(n_node, n_node))
+    return reverse_cuthill_mckee(m.tocsr(), symmetric_mode=True).astype(np.int64)
+
+
+def negative_sample(
+    edge_index: np.ndarray, n_node: int, e_neg: int, seed: int
+) -> Optional[np.ndarray]:
+    """(2, e_neg) sampled non-edges, or None if the lib is unbuilt."""
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(edge_index[0], dtype=np.int64)
+    col = np.ascontiguousarray(edge_index[1], dtype=np.int64)
+    src = np.empty(e_neg, dtype=np.int64)
+    dst = np.empty(e_neg, dtype=np.int64)
+    rc = lib.glass_negative_sample(
+        row, col, row.shape[0], n_node, e_neg, seed, src, dst
+    )
+    if rc != 0:
+        raise RuntimeError("negative sampling could not find enough non-edges")
+    return np.stack([src, dst])
+
+
+def induced_subgraph_adj(
+    edge_index: np.ndarray, n_node: int, pos: np.ndarray
+) -> Optional[np.ndarray]:
+    """(S, L, L) dense induced adjacencies for padded subgraphs, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(edge_index[0], dtype=np.int64)
+    col = np.ascontiguousarray(edge_index[1], dtype=np.int64)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    s, width = pos.shape
+    out = np.zeros((s, width, width), dtype=np.float32)
+    rc = lib.glass_induced_subgraphs(
+        row, col, row.shape[0], n_node, pos, s, width, out
+    )
+    if rc != 0:
+        raise RuntimeError(f"glass_induced_subgraphs failed with {rc}")
+    return out

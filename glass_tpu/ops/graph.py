@@ -154,14 +154,24 @@ def build_graph(
     """
     edge_index = np.asarray(edge_index)
     n_edge = edge_index.shape[1]
-    if edge_weight is None:
-        edge_weight = np.ones(n_edge, dtype=np.float32)
-    w = normalized_edge_weight(edge_index, edge_weight, n_node, aggr)
 
-    # Sort by (row, col) for the segment-sum fast path and CSR derivation.
-    row, col = edge_index[0].astype(np.int64), edge_index[1].astype(np.int64)
-    order = np.lexsort((col, row))
-    row, col, w = row[order], col[order], w[order]
+    # Native fast path: sort + normalize in C++ (native/glass_host.cpp),
+    # numerically identical to the numpy code below.
+    from glass_tpu import native
+
+    csr = native.build_csr(edge_index, edge_weight, n_node, aggr)
+    if csr is not None:
+        row = csr[0].astype(np.int64)
+        col = csr[1].astype(np.int64)
+        w = csr[2]
+    else:
+        if edge_weight is None:
+            edge_weight = np.ones(n_edge, dtype=np.float32)
+        w = normalized_edge_weight(edge_index, edge_weight, n_node, aggr)
+        # Sort by (row, col) for the segment-sum fast path and CSR derivation.
+        row, col = edge_index[0].astype(np.int64), edge_index[1].astype(np.int64)
+        order = np.lexsort((col, row))
+        row, col, w = row[order], col[order], w[order]
 
     # Pad with zero-weight self-referential edges on the last node: they are
     # sorted-order-preserving and contribute exactly 0 to every aggregation.

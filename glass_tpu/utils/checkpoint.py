@@ -1,0 +1,67 @@
+"""Checkpoint / resume for parameter pytrees and training state.
+
+The reference persists only the SSL embedding table and optuna studies
+(SURVEY.md §5); a production framework needs real model checkpointing. Two
+formats:
+
+- orbax (preferred when installed): full async-capable checkpointing of any
+  pytree, the standard JAX ecosystem choice;
+- npz fallback: flattened pytree leaves with their tree paths as keys —
+  dependency-free, portable, and sufficient for every model in this repo.
+
+The SSL embedding-table contract (``{name}_{hidden}.npz`` with key
+'embedding') is separate and intentionally simpler — see cli/gnn_emb.py.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+import jax
+
+
+def _flatten(tree: Any):
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in leaves}
+
+
+def save_checkpoint(path: str | Path, tree: Any) -> None:
+    """Saves a pytree. Directory path -> orbax (if installed); '.npz' -> npz."""
+    path = Path(path)
+    if path.suffix == ".npz":
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(path, **_flatten(tree))
+        return
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path.absolute(), tree, force=True)
+    except ImportError:
+        np.savez(path.with_suffix(".npz"), **_flatten(tree))
+
+
+def load_checkpoint(path: str | Path, like: Any) -> Any:
+    """Loads a checkpoint into the structure of ``like`` (shape template)."""
+    path = Path(path)
+    if path.suffix != ".npz" and path.is_dir():
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        return ckptr.restore(path.absolute(), item=like)
+    if path.suffix != ".npz":
+        path = path.with_suffix(".npz")
+    data = np.load(path)
+    leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(like)
+    new_leaves = []
+    for p, leaf in leaves_paths:
+        key = jax.tree_util.keystr(p)
+        if key not in data:
+            raise KeyError(f"checkpoint missing {key}")
+        arr = data[key]
+        if arr.shape != np.shape(leaf):
+            raise ValueError(f"{key}: checkpoint shape {arr.shape} != {np.shape(leaf)}")
+        new_leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -1,0 +1,179 @@
+// glass_host: native host-side runtime for glass_tpu.
+//
+// The TPU compute path is JAX/XLA/Pallas; this library covers the host-side
+// data plane around it — the pieces a production deployment runs per dataset
+// or per partition rebuild, where Python-loop costs bite:
+//   - CSR build: sort + degree + {mean,sum,gcn} normalization
+//     (semantics of ops/graph.py::build_graph, reference impl/models.py:83-111)
+//   - reverse Cuthill-McKee ordering (locality for block-sparse / partitioned
+//     layouts)
+//   - link-prediction negative sampling (reference datasets.py:73-91)
+//   - induced-subgraph extraction for GNN-seg (reference GNNSeg.py:213-249)
+//
+// Exposed as a plain C ABI consumed through ctypes (glass_tpu/native.py);
+// every entry point has a numpy fallback so the framework works unbuilt.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <numeric>
+#include <queue>
+#include <random>
+#include <unordered_set>
+#include <vector>
+
+extern "C" {
+
+// Sorts edges by (row, col), computes weighted row degrees, applies the
+// requested normalization. aggr: 0 = sum, 1 = mean, 2 = gcn.
+// In:  row/col/w of length e (w may be null => ones), n nodes.
+// Out: out_row/out_col (int32), out_w (float) of length e, out_deg (double, n).
+// Returns 0 on success.
+int glass_build_csr(const int64_t* row, const int64_t* col, const float* w,
+                    int64_t e, int64_t n, int aggr,
+                    int32_t* out_row, int32_t* out_col, float* out_w,
+                    double* out_deg) {
+  std::vector<int64_t> order(e);
+  std::iota(order.begin(), order.end(), 0);
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    if (row[a] != row[b]) return row[a] < row[b];
+    return col[a] < col[b];
+  });
+  std::vector<double> deg(n, 0.0);
+  for (int64_t i = 0; i < e; ++i) {
+    deg[row[i]] += w ? static_cast<double>(w[i]) : 1.0;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (deg[i] < 0.5) deg[i] += 1.0;  // isolated-node guard
+    out_deg[i] = deg[i];
+  }
+  for (int64_t i = 0; i < e; ++i) {
+    const int64_t j = order[i];
+    const double wj = w ? static_cast<double>(w[j]) : 1.0;
+    out_row[i] = static_cast<int32_t>(row[j]);
+    out_col[i] = static_cast<int32_t>(col[j]);
+    double v;
+    switch (aggr) {
+      case 0: v = wj; break;                                   // sum
+      case 1: v = wj / deg[row[j]]; break;                     // mean
+      case 2: v = wj / std::sqrt(deg[row[j]] * deg[col[j]]); break;  // gcn
+      default: return 1;
+    }
+    out_w[i] = static_cast<float>(v);
+  }
+  return 0;
+}
+
+// Reverse Cuthill-McKee ordering. Edges must describe an undirected graph
+// (both directions present). out_perm[i] = old id at new position i.
+int glass_rcm(const int64_t* row, const int64_t* col, int64_t e, int64_t n,
+              int64_t* out_perm) {
+  std::vector<int64_t> ptr(n + 1, 0), adj(e);
+  for (int64_t i = 0; i < e; ++i) ptr[row[i] + 1]++;
+  for (int64_t i = 0; i < n; ++i) ptr[i + 1] += ptr[i];
+  {
+    std::vector<int64_t> cur(ptr.begin(), ptr.end() - 1);
+    for (int64_t i = 0; i < e; ++i) adj[cur[row[i]]++] = col[i];
+  }
+  std::vector<int64_t> degree(n);
+  for (int64_t i = 0; i < n; ++i) {
+    degree[i] = ptr[i + 1] - ptr[i];
+    // sort each adjacency by degree for the classic CM tie-break
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    std::sort(adj.begin() + ptr[i], adj.begin() + ptr[i + 1],
+              [&](int64_t a, int64_t b) { return degree[a] < degree[b]; });
+  }
+  std::vector<char> seen(n, 0);
+  std::vector<int64_t> result;
+  result.reserve(n);
+  // process components, seeding each from its minimum-degree unseen node
+  std::vector<int64_t> by_degree(n);
+  std::iota(by_degree.begin(), by_degree.end(), 0);
+  std::sort(by_degree.begin(), by_degree.end(),
+            [&](int64_t a, int64_t b) { return degree[a] < degree[b]; });
+  std::queue<int64_t> q;
+  for (int64_t s : by_degree) {
+    if (seen[s]) continue;
+    seen[s] = 1;
+    q.push(s);
+    while (!q.empty()) {
+      int64_t u = q.front();
+      q.pop();
+      result.push_back(u);
+      for (int64_t k = ptr[u]; k < ptr[u + 1]; ++k) {
+        int64_t v = adj[k];
+        if (!seen[v]) {
+          seen[v] = 1;
+          q.push(v);
+        }
+      }
+    }
+  }
+  // reverse
+  for (int64_t i = 0; i < n; ++i) out_perm[i] = result[n - 1 - i];
+  return 0;
+}
+
+// Samples e_neg directed non-edges (a, b), a != b, absent from the edge set.
+// Deterministic under `seed`. Returns 0 on success, 1 if the graph is too
+// dense to find enough negatives.
+int glass_negative_sample(const int64_t* row, const int64_t* col, int64_t e,
+                          int64_t n, int64_t e_neg, uint64_t seed,
+                          int64_t* out_src, int64_t* out_dst) {
+  std::unordered_set<int64_t> existing;
+  existing.reserve(static_cast<size_t>(e * 2));
+  for (int64_t i = 0; i < e; ++i) existing.insert(row[i] * n + col[i]);
+  std::mt19937_64 gen(seed);
+  std::uniform_int_distribution<int64_t> dist(0, n - 1);
+  int64_t got = 0;
+  int64_t attempts = 0;
+  const int64_t max_attempts = e_neg * 1000 + 1000000;
+  while (got < e_neg && attempts < max_attempts) {
+    ++attempts;
+    const int64_t a = dist(gen), b = dist(gen);
+    if (a == b) continue;
+    const int64_t key = a * n + b;
+    if (existing.count(key)) continue;
+    existing.insert(key);
+    out_src[got] = a;
+    out_dst[got] = b;
+    ++got;
+  }
+  return got == e_neg ? 0 : 1;
+}
+
+// Induced-subgraph extraction for GNN-seg: for each padded subgraph row
+// (pos, width L, pad -1), emits the dense local adjacency (L x L float32,
+// 1.0 per directed edge) into out_adj[s].
+int glass_induced_subgraphs(const int64_t* row, const int64_t* col, int64_t e,
+                            int64_t n, const int64_t* pos, int64_t s_count,
+                            int64_t width, float* out_adj) {
+  // CSR of the global graph for neighbor queries
+  std::vector<int64_t> ptr(n + 1, 0), adj(e);
+  for (int64_t i = 0; i < e; ++i) ptr[row[i] + 1]++;
+  for (int64_t i = 0; i < n; ++i) ptr[i + 1] += ptr[i];
+  {
+    std::vector<int64_t> cur(ptr.begin(), ptr.end() - 1);
+    for (int64_t i = 0; i < e; ++i) adj[cur[row[i]]++] = col[i];
+  }
+  std::vector<int64_t> local(n, -1);
+  for (int64_t s = 0; s < s_count; ++s) {
+    const int64_t* nodes = pos + s * width;
+    int64_t k = 0;
+    for (; k < width && nodes[k] >= 0; ++k) local[nodes[k]] = k;
+    float* a = out_adj + s * width * width;
+    for (int64_t j = 0; j < k; ++j) {
+      const int64_t u = nodes[j];
+      for (int64_t p = ptr[u]; p < ptr[u + 1]; ++p) {
+        const int64_t lv = local[adj[p]];
+        if (lv >= 0) a[j * width + lv] += 1.0f;
+      }
+    }
+    for (int64_t j = 0; j < k; ++j) local[nodes[j]] = -1;
+  }
+  return 0;
+}
+
+}  // extern "C"
