@@ -16,10 +16,16 @@ CUDA but publishes no numbers and no GPU exists here (BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Amortize TPU compiles across bench runs (first Mosaic/XLA compile through a
+# remote-TPU tunnel can take minutes).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/glass_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def load_density_graph():

@@ -14,10 +14,14 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import argparse
+import os
 from pathlib import Path
 
 import numpy as np
 import yaml
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/glass_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -34,6 +38,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--spmm", type=str, default=None,
                         choices=["dense", "segment", "pallas"],
                         help="SpMM strategy override (default: auto)")
+    parser.add_argument("--dense_dtype", type=str, default="f32",
+                        choices=["f32", "bf16"],
+                        help="dense-adjacency dtype (bf16 = fast non-parity mode)")
     parser.add_argument("--config_dir", type=str, default=None)
     parser.add_argument("--data_root", type=str, default=None)
     parser.add_argument("--emb_path", type=str, default="Emb",
@@ -96,6 +103,7 @@ def main(argv=None):
         repeat=args.repeat,
         max_epochs=args.max_epochs,
         spmm_mode=args.spmm,
+        dense_dtype=args.dense_dtype,
         node_emb=node_emb,
         data_root=args.data_root,
         **params,

@@ -88,6 +88,12 @@ class Graph:
     aggr: str = struct.field(pytree_node=False, default="sum")
     axis: Optional[str] = struct.field(pytree_node=False, default=None)
     n_node_global: int = struct.field(pytree_node=False, default=0)
+    # Optional block-sparse layout for the Pallas BCSR kernel
+    # (built host-side in build_graph; see ops/pallas_spmm.py).
+    bcsr_blocks: Optional[jnp.ndarray] = None  # (nnz_b, 128, 128)
+    bcsr_col: Optional[jnp.ndarray] = None  # (nnz_b,) int32 column-block ids
+    bcsr_ptr: Optional[jnp.ndarray] = None  # (n_rb + 1,) int32
+    n_rb: int = struct.field(pytree_node=False, default=0)
 
     @property
     def n_global(self) -> int:
@@ -140,6 +146,8 @@ def build_graph(
     *,
     materialize_dense: Optional[bool] = None,
     edge_bucket: int = EDGE_BUCKET,
+    dense_dtype: str = "f32",
+    materialize_bcsr: bool = False,
 ) -> Graph:
     """Builds a :class:`Graph` from a host-side COO edge list.
 
@@ -151,6 +159,8 @@ def build_graph(
       materialize_dense: force/forbid the dense adjacency; default: auto
         (n_node <= DENSE_NODE_LIMIT).
       edge_bucket: pad E up to a multiple of this.
+      dense_dtype: "f32" (exact, parity mode) or "bf16" (half the HBM traffic
+        on the MXU SpMM; adjacency weights rounded to ~0.4% relative).
     """
     edge_index = np.asarray(edge_index)
     n_edge = edge_index.shape[1]
@@ -190,6 +200,21 @@ def build_graph(
         # duplicate (row, col) pairs accumulate, matching sparse-COO semantics
         np.add.at(d, (row[:n_edge], col[:n_edge]), w[:n_edge])
         dense = jnp.asarray(d)
+        if dense_dtype == "bf16":
+            dense = dense.astype(jnp.bfloat16)
+
+    bcsr_blocks = bcsr_col = bcsr_ptr = None
+    n_rb = 0
+    if materialize_bcsr:
+        from glass_tpu.ops.pallas_spmm import build_bcsr_arrays
+
+        blocks_np, col_np, ptr_np, n_rb = build_bcsr_arrays(
+            row[:n_edge], col[:n_edge], w[:n_edge], n_node,
+            dtype=np.float32 if dense_dtype == "f32" else "bfloat16",
+        )
+        bcsr_blocks = jnp.asarray(blocks_np)
+        bcsr_col = jnp.asarray(col_np)
+        bcsr_ptr = jnp.asarray(ptr_np)
 
     return Graph(
         row=jnp.asarray(row, dtype=jnp.int32),
@@ -199,6 +224,10 @@ def build_graph(
         n_node=int(n_node),
         n_edge=int(n_edge),
         aggr=aggr,
+        bcsr_blocks=bcsr_blocks,
+        bcsr_col=bcsr_col,
+        bcsr_ptr=bcsr_ptr,
+        n_rb=n_rb,
     )
 
 

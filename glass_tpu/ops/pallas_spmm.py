@@ -1,0 +1,240 @@
+"""Block-sparse (BCSR) SpMM Pallas kernel.
+
+Motivation (measured on TPU v5e, density-scale graph): XLA's gather of edge
+endpoints runs at ~16 GB/s effective, so gather/scatter SpMM formulations are
+~3x slower than a dense MXU matmul at GLASS scale. The dense matmul however
+reads the *whole* N x N adjacency every call. This kernel keeps the MXU
+formulation but only reads the **nonzero 128x128 blocks** of the adjacency:
+
+    out[rb] = sum_{cb in nnz(rb)} A[rb, cb] @ x[cb]
+
+For graphs with locality (real-world graphs after a reverse Cuthill-McKee
+reordering — native/glass_host.cpp glass_rcm), the nonzero-block count drops
+far below (N/128)^2 and the kernel's HBM traffic shrinks proportionally.
+Uniform random graphs (the bundled synthetics) have ~all blocks nonzero, where
+this matches the dense path.
+
+Design:
+- grid over row blocks; the block-CSR structure (block_row_ptr, block_col)
+  arrives via PrefetchScalarGridSpec so the kernel can issue DMAs for exactly
+  the blocks it needs;
+- adjacency blocks live in HBM as one (nnz_b, 128, 128) array and are
+  double-buffered into VMEM scratch while the MXU consumes the previous block;
+- x is small at GLASS scale (N x 64 f32 <= ~4 MB) and stays whole in VMEM;
+  x row-blocks are selected with scalar dynamic slices (no gather needed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from glass_tpu.ops.graph import Graph
+
+BLOCK = 128
+
+
+@struct.dataclass
+class BCSR:
+    """Host-built block-sparse adjacency. blocks[k] is the dense 128x128
+    content of the k-th nonzero block; block_col[k] its column-block index;
+    block_row_ptr[rb]..block_row_ptr[rb+1] the k-range of row-block rb."""
+
+    blocks: jnp.ndarray  # (nnz_b, 128, 128)
+    block_col: jnp.ndarray  # (nnz_b,) int32
+    block_row_ptr: jnp.ndarray  # (n_rb + 1,) int32
+    n_rb: int = struct.field(pytree_node=False)
+    n_cb: int = struct.field(pytree_node=False)
+    n_node: int = struct.field(pytree_node=False)  # real node count
+
+    @property
+    def nnz_blocks(self) -> int:
+        return int(self.blocks.shape[0])
+
+
+def build_bcsr_arrays(
+    row: np.ndarray,
+    col: np.ndarray,
+    weight: np.ndarray,
+    n_node: int,
+    dtype="float32",
+):
+    """Host-side BCSR construction from (already normalized) host COO arrays;
+    zero-weight padding edges are ignored. Returns numpy
+    (blocks, block_col, block_row_ptr, n_rb) — callers place them on device
+    (keeping this pure-numpy matters: device readbacks through a remote-TPU
+    tunnel are pathologically slow)."""
+    row = np.asarray(row)
+    col = np.asarray(col)
+    weight = np.asarray(weight)
+    keep = weight != 0
+    row, col, weight = row[keep], col[keep], weight[keep]
+    n_rb = -(-n_node // BLOCK)
+    n_cb = n_rb
+    bid = (row // BLOCK) * n_cb + col // BLOCK
+    order = np.argsort(bid, kind="stable")
+    row, col, weight, bid = row[order], col[order], weight[order], bid[order]
+    uniq, start = np.unique(bid, return_index=True)
+    nnz_b = max(uniq.shape[0], 1)
+    blocks = np.zeros((nnz_b, BLOCK, BLOCK), dtype=np.float32)
+    ends = np.append(start[1:], bid.shape[0])
+    for k in range(uniq.shape[0]):
+        sel = slice(start[k], ends[k])
+        np.add.at(
+            blocks[k],
+            (row[sel] % BLOCK, col[sel] % BLOCK),
+            weight[sel].astype(np.float64),
+        )
+    block_col = np.zeros(nnz_b, dtype=np.int32)
+    block_col[: uniq.shape[0]] = (uniq % n_cb).astype(np.int32)
+    ptr = np.zeros(n_rb + 1, dtype=np.int32)
+    np.add.at(ptr, (uniq // n_cb).astype(np.int64) + 1, 1)
+    ptr = np.cumsum(ptr).astype(np.int32)
+    import jax.numpy as _jnp  # dtype token only
+
+    blocks = blocks.astype(_jnp.bfloat16 if dtype == "bfloat16" else np.float32)
+    return blocks, block_col, ptr, n_rb
+
+
+def build_bcsr(
+    row: np.ndarray,
+    col: np.ndarray,
+    weight: np.ndarray,
+    n_node: int,
+    dtype="float32",
+) -> BCSR:
+    """Device-placed BCSR (see build_bcsr_arrays)."""
+    blocks, block_col, ptr, n_rb = build_bcsr_arrays(row, col, weight, n_node, dtype)
+    return BCSR(
+        blocks=jnp.asarray(blocks),
+        block_col=jnp.asarray(block_col),
+        block_row_ptr=jnp.asarray(ptr),
+        n_rb=n_rb,
+        n_cb=n_rb,
+        n_node=n_node,
+    )
+
+
+def _bcsr_kernel(
+    # scalar prefetch
+    ptr_ref,
+    bcol_ref,
+    # inputs
+    x_ref,  # (n_cb*BLOCK, H) VMEM
+    blocks_hbm,  # (nnz_b, BLOCK, BLOCK) HBM
+    # output
+    out_ref,  # (BLOCK, H) VMEM block for this row-block
+    # scratch
+    ablk,  # (2, BLOCK, BLOCK) VMEM double buffer
+    acc,  # (BLOCK, H) f32 accumulator
+    sems,  # DMA semaphores (2,)
+    *,
+    block_dtype,
+):
+    rb = pl.program_id(0)
+    lo = ptr_ref[rb]
+    hi = ptr_ref[rb + 1]
+    n = hi - lo
+
+    acc[...] = jnp.zeros_like(acc)
+
+    def dma(slot, k):
+        return pltpu.make_async_copy(
+            blocks_hbm.at[lo + k], ablk.at[slot], sems.at[slot]
+        )
+
+    @pl.when(n > 0)
+    def _():
+        dma(0, 0).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, 2)
+            nxt = jax.lax.rem(k + 1, 2)
+
+            @pl.when(k + 1 < n)
+            def _():
+                dma(nxt, k + 1).start()
+
+            dma(slot, k).wait()
+            cb = bcol_ref[lo + k]
+            xb = x_ref[pl.ds(cb * BLOCK, BLOCK), :]
+            acc[...] += jnp.dot(
+                ablk[slot],
+                xb.astype(block_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0, unroll=False)
+
+    out_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """out = A @ x with A in BCSR form. x: (n_node, H) f32; returns same."""
+    h = x.shape[1]
+    n_pad = bcsr.n_cb * BLOCK
+    x_pad = jnp.zeros((n_pad, h), dtype=x.dtype).at[: x.shape[0]].set(x)
+    block_dtype = bcsr.blocks.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bcsr.n_rb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x (whole)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # blocks stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (BLOCK, h), lambda rb, *_: (rb, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, BLOCK, BLOCK), block_dtype),
+            pltpu.VMEM((BLOCK, h), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_bcsr_kernel, block_dtype=block_dtype),
+        out_shape=jax.ShapeDtypeStruct((bcsr.n_rb * BLOCK, h), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(bcsr.block_row_ptr, bcsr.block_col, x_pad, bcsr.blocks)
+    return out[: x.shape[0]]
+
+
+# --------------------------------------------------------------------------
+# Graph-level entry (ops.spmm dispatch target)
+
+
+def spmm_pallas(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
+    """SpMM via the BCSR Pallas kernel. Prefers the layout prebuilt on the
+    Graph (build_graph(materialize_bcsr=True)); otherwise builds it from the
+    COO arrays (device readback — avoid on remote-TPU tunnels). Falls back to
+    interpret mode off-TPU."""
+    if graph.bcsr_blocks is not None:
+        bcsr = BCSR(
+            blocks=graph.bcsr_blocks,
+            block_col=graph.bcsr_col,
+            block_row_ptr=graph.bcsr_ptr,
+            n_rb=graph.n_rb,
+            n_cb=graph.n_rb,
+            n_node=graph.n_node,
+        )
+    else:
+        bcsr = build_bcsr(
+            np.asarray(graph.row),
+            np.asarray(graph.col),
+            np.asarray(graph.weight),
+            graph.n_node,
+        )
+    interpret = jax.default_backend() != "tpu"
+    return bcsr_spmm(bcsr, x, interpret=interpret)

@@ -62,6 +62,13 @@ def spmm_dense(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     """
     assert graph.dense is not None, "graph was built without a dense adjacency"
     xg = gather_global(graph, x)
+    if graph.dense.dtype == jnp.bfloat16:
+        # fast mode: one-pass bf16 MXU with f32 accumulation
+        return jnp.dot(
+            graph.dense,
+            xg.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     return jnp.dot(
         graph.dense,
         xg,

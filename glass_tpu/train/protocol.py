@@ -62,6 +62,7 @@ class ExperimentConfig:
     max_epochs: int = 300
     # framework knobs
     spmm_mode: Optional[str] = None
+    dense_dtype: str = "f32"  # "bf16" halves SpMM HBM traffic (non-parity)
     node_emb: Optional[np.ndarray] = None  # pretrained (N, hidden) table
     data_root: Optional[str] = None
 
@@ -103,6 +104,7 @@ def _run_one(cfg: ExperimentConfig, seed: int, log: Callable[[str], None]) -> fl
     graph = build_graph(
         base.edge_index, base.edge_weight, base.n_node, cfg.aggr,
         materialize_dense=None if cfg.spmm_mode is None else cfg.spmm_mode == "dense",
+        dense_dtype=cfg.dense_dtype,
     )
     model = GLASS(
         max_deg=base.max_deg,

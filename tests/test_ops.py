@@ -80,6 +80,17 @@ def test_edge_padding_is_inert(rng):
     )
 
 
+def test_dense_bf16_mode_close_to_f32(rng):
+    ei, n = random_graph(rng)
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    g32 = build_graph(ei, None, n, "gcn", materialize_dense=True)
+    g16 = build_graph(ei, None, n, "gcn", materialize_dense=True, dense_dtype="bf16")
+    y32 = np.asarray(spmm(g32, x, "dense"))
+    y16 = np.asarray(spmm(g16, x, "dense"))
+    scale = np.abs(y32).max()
+    assert np.abs(y32 - y16).max() < 2e-2 * scale
+
+
 def test_normalized_edge_weight_gcn_symmetric():
     ei = np.array([[0, 1, 1, 2], [1, 0, 2, 1]])
     w = normalized_edge_weight(ei, np.ones(4), 3, "gcn")
