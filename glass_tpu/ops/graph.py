@@ -94,6 +94,14 @@ class Graph:
     bcsr_col: Optional[jnp.ndarray] = None  # (nnz_b,) int32 column-block ids
     bcsr_ptr: Optional[jnp.ndarray] = None  # (n_rb + 1,) int32
     n_rb: int = struct.field(pytree_node=False, default=0)
+    # Optional halo-overlap split (sharded graphs): edges whose source lies in
+    # this shard's own block, with *local* column ids. When present, the
+    # sharded SpMM computes this part from x_local while the all-gather of
+    # remote features is in flight (XLA overlaps the independent collective),
+    # and row/col/weight hold only the off-block edges.
+    loc_row: Optional[jnp.ndarray] = None
+    loc_col: Optional[jnp.ndarray] = None
+    loc_weight: Optional[jnp.ndarray] = None
 
     @property
     def n_global(self) -> int:

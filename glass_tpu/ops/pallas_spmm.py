@@ -166,10 +166,18 @@ def _bcsr_kernel(
             dma(slot, k).wait()
             cb = bcol_ref[lo + k]
             xb = x_ref[pl.ds(cb * BLOCK, BLOCK), :]
+            # f32 blocks: full-precision MXU passes for parity with the dense
+            # path; bf16 blocks: fast one-pass mode.
+            precision = (
+                jax.lax.Precision.HIGHEST
+                if block_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
             acc[...] += jnp.dot(
                 ablk[slot],
                 xb.astype(block_dtype),
                 preferred_element_type=jnp.float32,
+                precision=precision,
             )
             return 0
 

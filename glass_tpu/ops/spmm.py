@@ -41,15 +41,30 @@ def gather_global(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
 
 def spmm_segment(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     """out[row_local] += weight * x_global[col] via gather + sorted
-    segment-sum."""
+    segment-sum.
+
+    Sharded graphs with a halo-overlap split (graph.loc_*) compute the
+    own-block contribution from x_local independently of the all-gather, so
+    XLA can overlap the collective with the local segment-sum
+    (SURVEY.md §2.4 boundary-exchange overlap)."""
+    local = None
+    if graph.loc_row is not None:
+        gathered_l = x[graph.loc_col] * graph.loc_weight[:, None]
+        local = jax.ops.segment_sum(
+            gathered_l,
+            graph.loc_row,
+            num_segments=graph.n_node,
+            indices_are_sorted=True,
+        )
     xg = gather_global(graph, x)
     gathered = xg[graph.col] * graph.weight[:, None]
-    return jax.ops.segment_sum(
+    out = jax.ops.segment_sum(
         gathered,
         graph.row,
         num_segments=graph.n_node,
         indices_are_sorted=True,
     )
+    return out if local is None else out + local
 
 
 def spmm_dense(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:

@@ -25,9 +25,14 @@ from glass_tpu.ops.graph import Graph, normalized_edge_weight
 
 @dataclasses.dataclass(frozen=True)
 class PartitionedGraph:
-    """Stacked per-shard arrays, leading dim = K shards (shard_map operand)."""
+    """Stacked per-shard arrays, leading dim = K shards (shard_map operand).
 
-    row: np.ndarray  # (K, E_shard) local destination rows
+    When built with ``overlap=True``, edges whose source lies in the owning
+    shard's own node block are split out into loc_* with *local* column ids —
+    their contribution needs no communication, so the sharded SpMM overlaps it
+    with the all-gather of remote features."""
+
+    row: np.ndarray  # (K, E_shard) local destination rows (off-block edges)
     col: np.ndarray  # (K, E_shard) global source columns
     weight: np.ndarray  # (K, E_shard)
     dense: Optional[np.ndarray]  # (K, nb, K*nb) row-blocks of dense adjacency
@@ -36,8 +41,12 @@ class PartitionedGraph:
     n_node: int  # real global node count
     n_edge: int  # real global directed edge count
     aggr: str
+    loc_row: Optional[np.ndarray] = None  # (K, E_loc) own-block edges
+    loc_col: Optional[np.ndarray] = None  # (K, E_loc) local column ids
+    loc_weight: Optional[np.ndarray] = None
 
-    def local_graph(self, row, col, weight, dense, axis: str) -> Graph:
+    def local_graph(self, row, col, weight, dense, axis: str,
+                    loc_row=None, loc_col=None, loc_weight=None) -> Graph:
         """Builds the shard-local Graph *inside* shard_map from this shard's
         slices (each arrives with a leading dim of 1)."""
         return Graph(
@@ -50,6 +59,9 @@ class PartitionedGraph:
             aggr=self.aggr,
             axis=axis,
             n_node_global=self.n_node,
+            loc_row=None if loc_row is None else loc_row.reshape(-1),
+            loc_col=None if loc_col is None else loc_col.reshape(-1),
+            loc_weight=None if loc_weight is None else loc_weight.reshape(-1),
         )
 
     def pad_nodes(self, x: np.ndarray) -> np.ndarray:
@@ -70,11 +82,14 @@ def partition_graph(
     *,
     materialize_dense: bool = False,
     edge_bucket: int = 256,
+    overlap: bool = True,
 ) -> PartitionedGraph:
     """Partitions a COO edge list into K destination-row blocks.
 
     Normalization (degree computation) happens *globally* before the split so
-    each shard's weights are identical to the unsharded graph's.
+    each shard's weights are identical to the unsharded graph's. With
+    ``overlap=True`` (default), own-block edges are split into the loc_*
+    arrays for collective/compute overlap.
     """
     edge_index = np.asarray(edge_index)
     n_edge = edge_index.shape[1]
@@ -89,21 +104,31 @@ def partition_graph(
 
     nb = -(-n_node // n_shards)  # block size
     shard_of = row // nb
-    counts = np.bincount(shard_of, minlength=n_shards)
-    e_shard = max(edge_bucket, int(-(-counts.max() // edge_bucket) * edge_bucket))
+    is_local = overlap & (col // nb == shard_of)
 
-    rows = np.zeros((n_shards, e_shard), dtype=np.int32)
-    cols = np.zeros((n_shards, e_shard), dtype=np.int32)
-    ws = np.zeros((n_shards, e_shard), dtype=np.float32)
-    for k in range(n_shards):
-        sel = shard_of == k
-        c = int(counts[k])
-        rows[k, :c] = (row[sel] - k * nb).astype(np.int32)
-        cols[k, :c] = col[sel].astype(np.int32)
-        ws[k, :c] = w[sel]
-        # padding edges: local row nb-1, col 0, weight 0 (inert, sorted-safe)
-        rows[k, c:] = nb - 1
-        cols[k, c:] = 0
+    def bucketize(sel_mask, local_cols: bool):
+        counts = np.bincount(shard_of[sel_mask], minlength=n_shards)
+        e_shard = max(edge_bucket, int(-(-max(counts.max(), 1) // edge_bucket) * edge_bucket))
+        rows_ = np.full((n_shards, e_shard), nb - 1, dtype=np.int32)
+        cols_ = np.zeros((n_shards, e_shard), dtype=np.int32)
+        ws_ = np.zeros((n_shards, e_shard), dtype=np.float32)
+        for k in range(n_shards):
+            sel = sel_mask & (shard_of == k)
+            c = int(sel.sum())
+            rows_[k, :c] = (row[sel] - k * nb).astype(np.int32)
+            csel = col[sel]
+            if local_cols:
+                csel = csel - k * nb
+            cols_[k, :c] = csel.astype(np.int32)
+            ws_[k, :c] = w[sel]
+        return rows_, cols_, ws_
+
+    if overlap:
+        rows, cols, ws = bucketize(~is_local, local_cols=False)
+        lrows, lcols, lws = bucketize(is_local, local_cols=True)
+    else:
+        rows, cols, ws = bucketize(np.ones_like(shard_of, dtype=bool), local_cols=False)
+        lrows = lcols = lws = None
 
     dense = None
     if materialize_dense:
@@ -116,4 +141,5 @@ def partition_graph(
     return PartitionedGraph(
         row=rows, col=cols, weight=ws, dense=dense,
         n_shards=n_shards, block=nb, n_node=n_node, n_edge=n_edge, aggr=aggr,
+        loc_row=lrows, loc_col=lcols, loc_weight=lws,
     )

@@ -60,6 +60,7 @@ class ShardedTrainer:
 
         self.x_padded = jnp.asarray(pgraph.pad_nodes(x).astype(np.int32))
         self.has_dense = pgraph.dense is not None
+        self.has_overlap = pgraph.loc_row is not None
         self.gparts = (
             jnp.asarray(pgraph.row),
             jnp.asarray(pgraph.col),
@@ -69,6 +70,13 @@ class ShardedTrainer:
         if self.has_dense:
             self.gparts = self.gparts + (jnp.asarray(pgraph.dense),)
             gspecs.append(P("graph", None, None))
+        if self.has_overlap:
+            self.gparts = self.gparts + (
+                jnp.asarray(pgraph.loc_row),
+                jnp.asarray(pgraph.loc_col),
+                jnp.asarray(pgraph.loc_weight),
+            )
+            gspecs.extend([P("graph", None)] * 3)
         gspecs = tuple(gspecs)
         xspec = P("graph", None)
 
@@ -96,8 +104,15 @@ class ShardedTrainer:
 
     def _local_graph(self, gargs):
         row, col, w = gargs[:3]
-        dense = gargs[3] if self.has_dense else None
-        return self.pg.local_graph(row, col, w, dense, "graph")
+        i = 3
+        dense = None
+        if self.has_dense:
+            dense = gargs[i]
+            i += 1
+        loc = (None, None, None)
+        if self.has_overlap:
+            loc = gargs[i: i + 3]
+        return self.pg.local_graph(row, col, w, dense, "graph", *loc)
 
     def _z(self, graph, pos):
         if not self.cfg.use_z:

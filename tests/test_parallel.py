@@ -33,15 +33,21 @@ def test_partition_covers_all_edges(rng):
     ei, n = toy(rng)
     pg = partition_graph(ei, None, n, "gcn", 4)
     assert pg.n_edge == ei.shape[1]
-    assert (pg.weight != 0).sum() == pg.n_edge
-    # every real edge lands in the shard owning its destination row
+    # off-block + own-block (overlap split) edges together cover everything
+    nnz = (pg.weight != 0).sum() + (pg.loc_weight != 0).sum()
+    assert nnz == pg.n_edge
     g = build_graph(ei, None, n, "gcn", materialize_dense=False)
     total = float(np.asarray(g.weight).sum())
-    np.testing.assert_allclose(pg.weight.sum(), total, rtol=1e-5)
+    np.testing.assert_allclose(pg.weight.sum() + pg.loc_weight.sum(), total, rtol=1e-5)
+    # no-overlap mode keeps everything in the main arrays
+    pg2 = partition_graph(ei, None, n, "gcn", 4, overlap=False)
+    assert pg2.loc_row is None
+    assert (pg2.weight != 0).sum() == pg.n_edge
 
 
 @pytest.mark.parametrize("use_dense", [False, True])
-def test_sharded_spmm_matches_unsharded(rng, use_dense):
+@pytest.mark.parametrize("overlap", [False, True])
+def test_sharded_spmm_matches_unsharded(rng, use_dense, overlap):
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
@@ -51,14 +57,20 @@ def test_sharded_spmm_matches_unsharded(rng, use_dense):
     ref = np.asarray(spmm(g, jnp.asarray(x), "dense"))
 
     K = 4
-    pg = partition_graph(ei, None, n, "mean", K, materialize_dense=use_dense)
+    pg = partition_graph(ei, None, n, "mean", K, materialize_dense=use_dense,
+                         overlap=overlap)
     mesh = make_mesh(graph_shards=K, data_shards=2)
     xp = pg.pad_nodes(x)
 
     def body(x_loc, *gargs):
         row, col, w = gargs[:3]
-        dense = gargs[3] if use_dense else None
-        graph = pg.local_graph(row, col, w, dense, "graph")
+        i = 3
+        dense = None
+        if use_dense:
+            dense = gargs[i]
+            i += 1
+        loc = gargs[i: i + 3] if overlap else (None, None, None)
+        graph = pg.local_graph(row, col, w, dense, "graph", *loc)
         return spmm(graph, x_loc, "dense" if use_dense else "segment")
 
     gargs = [jnp.asarray(pg.row), jnp.asarray(pg.col), jnp.asarray(pg.weight)]
@@ -66,6 +78,10 @@ def test_sharded_spmm_matches_unsharded(rng, use_dense):
     if use_dense:
         gargs.append(jnp.asarray(pg.dense))
         gspecs.append(P("graph", None, None))
+    if overlap:
+        gargs += [jnp.asarray(pg.loc_row), jnp.asarray(pg.loc_col),
+                  jnp.asarray(pg.loc_weight)]
+        gspecs += [P("graph", None)] * 3
 
     out = shard_map(
         body,
