@@ -100,16 +100,21 @@ class BaseGraphData:
 
     # ------------------------------------------------------ LP pretraining
 
-    def get_lp_dataset(self, rng: np.random.Generator):
+    def get_lp_dataset(self, rng: np.random.Generator, use_loop: bool = False):
         """Link-prediction dataset: positive edges + an equal number of
         sampled non-edges, as 2-node "subgraphs" with 0/1 labels
-        (reference: datasets.py:73-91 via PyG negative_sampling)."""
+        (reference: datasets.py:73-91 via PyG negative_sampling). With
+        ``use_loop``, every node's self-loop pair is appended with label =
+        whether that self-loop exists (datasets.py:82-90)."""
         ei = self.edge_index
         n, e = self.n_node, ei.shape[1]
         existing = np.unique(ei[0].astype(np.int64) * n + ei[1].astype(np.int64))
-        chunks, got = [], 0
-        # vectorized rejection sampling, chunked
-        while got < e:
+        chunks, got, rounds = [], 0, 0
+        # vectorized rejection sampling, chunked; dense graphs may not have
+        # e non-edges at all (PyG returns fewer in that case too), so cap the
+        # rounds and truncate
+        while got < e and rounds < 64:
+            rounds += 1
             cand = rng.integers(0, n, size=(2, 2 * (e - got)))
             keys = cand[0].astype(np.int64) * n + cand[1].astype(np.int64)
             ok = ~np.isin(keys, existing) & (cand[0] != cand[1])
@@ -122,6 +127,13 @@ class BaseGraphData:
             chunks.append(keep)
             got += keep.shape[1]
         neg_edge = np.concatenate(chunks, axis=1)[:, :e]
-        pos = np.concatenate([ei, neg_edge], axis=1).T  # (2E, 2)
-        y = np.concatenate([np.ones(e, dtype=np.float32), np.zeros(e, dtype=np.float32)])
+        n_neg = neg_edge.shape[1]
+        pos = np.concatenate([ei, neg_edge], axis=1).T  # (E + n_neg, 2)
+        y = np.concatenate([np.ones(e, dtype=np.float32), np.zeros(n_neg, dtype=np.float32)])
+        if use_loop:
+            loops = np.stack([np.arange(n)] * 2, axis=1)
+            has_loop = np.zeros(n, dtype=np.float32)
+            has_loop[ei[0][ei[0] == ei[1]]] = 1.0
+            pos = np.concatenate([pos, loops])
+            y = np.concatenate([y, has_loop])
         return pos.astype(np.int64), y

@@ -156,6 +156,7 @@ def build_graph(
     edge_bucket: int = EDGE_BUCKET,
     dense_dtype: str = "f32",
     materialize_bcsr: bool = False,
+    add_self_loops: bool = False,
 ) -> Graph:
     """Builds a :class:`Graph` from a host-side COO edge list.
 
@@ -171,6 +172,16 @@ def build_graph(
         on the MXU SpMM; adjacency weights rounded to ~0.4% relative).
     """
     edge_index = np.asarray(edge_index)
+    if add_self_loops:
+        # PyG-GCNConv-default semantics: append weight-1 self loops before
+        # normalizing (the reference's pretraining default conv,
+        # impl/models.py:416 / GNNEmb.py:84-94 substrate).
+        loops = np.stack([np.arange(n_node)] * 2)
+        edge_index = np.concatenate([edge_index, loops], axis=1)
+        if edge_weight is not None:
+            edge_weight = np.concatenate(
+                [np.asarray(edge_weight), np.ones(n_node, dtype=np.float32)]
+            )
     n_edge = edge_index.shape[1]
 
     # Native fast path: sort + normalize in C++ (native/glass_host.cpp),

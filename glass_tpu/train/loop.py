@@ -180,10 +180,24 @@ def make_train_batches(rng: np.random.Generator, pos: np.ndarray, y: np.ndarray,
     return pos[perm], y[perm]
 
 
-def make_eval_batches(pos: np.ndarray, y: np.ndarray, batch_size: int):
-    """All samples, natural order, last batch right-padded with all(-1) pos
-    rows (inert for labeling and pooling)."""
+def make_eval_batches(
+    pos: np.ndarray,
+    y: np.ndarray,
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+):
+    """All samples, last batch right-padded with all(-1) pos rows (inert for
+    labeling and pooling).
+
+    When ``rng`` is given the samples are shuffled, matching the reference's
+    eval loaders (GLASSTest.py:118-119, shuffle=True, drop_last=False): batch
+    composition determines the zero-one labels, so shuffling changes the
+    predictions — part of the protocol, not just an ordering detail. ``y`` is
+    returned permuted identically."""
     n = pos.shape[0]
+    if rng is not None:
+        perm = rng.permutation(n)
+        pos, y = pos[perm], y[perm]
     nb = -(-n // batch_size)
     pad = nb * batch_size - n
     pos_p = np.concatenate([pos, np.full((pad,) + pos.shape[1:], -1, dtype=pos.dtype)])

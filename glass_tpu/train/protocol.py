@@ -148,23 +148,36 @@ def _run_one(cfg: ExperimentConfig, seed: int, log: Callable[[str], None]) -> fl
     eval_after = 100 / num_div
     stop_after = 100 / num_div
 
-    val_b, _, val_n = make_eval_batches(val_pos, val_y, cfg.batch_size)
-    tst_b, _, tst_n = make_eval_batches(tst_pos, tst_y, cfg.batch_size)
-    val_bj, tst_bj = jnp.asarray(val_b), jnp.asarray(tst_b)
+    # eval loaders shuffle (reference GLASSTest.py:118-119): batch composition
+    # sets the zero-one labels, so each evaluation re-draws its batches
+    def val_score_fn():
+        b, y_p, n_real = make_eval_batches(val_pos, val_y, cfg.batch_size, rng)
+        return score_fn(trainer.evaluate(params, jnp.asarray(b), n_real), y_p)
 
     def tst_score():
-        return score_fn(trainer.evaluate(params, tst_bj, tst_n), tst_y)
+        b, y_p, n_real = make_eval_batches(tst_pos, tst_y, cfg.batch_size, rng)
+        return score_fn(trainer.evaluate(params, jnp.asarray(b), n_real), y_p)
 
+    from glass_tpu.utils.profiling import StepMeter
+
+    nb_per_epoch = trn_y.shape[0] // cfg.batch_size
+    meter = StepMeter(
+        # one SpMM edge-traversal per conv layer, forward; backward ~doubles
+        edges_per_step=graph.n_edge * cfg.conv_layer * 2,
+        subgraphs_per_step=cfg.batch_size,
+    )
     val_score, tst_best, early_stop = 0.0, 0.0, 0
     t0 = time.time()
     i = -1
     for i in range(cfg.max_epochs):
         pos_b, y_b = make_train_batches(rng, trn_pos, trn_y, cfg.batch_size)
+        meter.start()  # time the training epoch only, not the evals
         params, opt_state, plateau, rng_jax, loss_val = trainer.train_epoch(
             params, opt_state, plateau, rng_jax, jnp.asarray(pos_b), jnp.asarray(y_b)
         )
+        meter.tick(nb_per_epoch)
         if i >= eval_after:
-            score = score_fn(trainer.evaluate(params, val_bj, val_n), val_y)
+            score = val_score_fn()
             if score > val_score:
                 early_stop = 0
                 val_score = score
@@ -186,6 +199,7 @@ def _run_one(cfg: ExperimentConfig, seed: int, log: Callable[[str], None]) -> fl
         f"end: epoch {i + 1}, train time {time.time() - t0:.2f} s, "
         f"val {val_score:.3f}, tst {tst_best:.3f}"
     )
+    log(f"throughput: {meter.summary()}")
     return tst_best
 
 
