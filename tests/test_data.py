@@ -83,3 +83,46 @@ def test_lp_dataset():
 def test_real_dataset_missing_raises():
     with pytest.raises(FileNotFoundError, match="subgraphs.pth"):
         load_dataset("ppi_bp", data_root="/nonexistent")
+
+
+def _write_subgnn_dataset(root, name, multilabel=False):
+    d = root / "dataset" / name
+    d.mkdir(parents=True)
+    lab = "A-B" if multilabel else "A"
+    lines = [
+        f"0-1-2\t{lab}\ttrain\n",
+        "3-4\tB\ttrain\n",
+        "5-6\tA\tval\n",
+        "7-8-9\tB\ttest\n",
+        "1-5\tB\ttest\n",
+    ]
+    (d / "subgraphs.pth").write_text("".join(lines))
+    (d / "edge_list.txt").write_text(
+        "0 1\n1 2\n3 4\n5 6\n7 8\n8 9\n1 5\n2 9\n"
+    )
+
+
+def test_real_dataset_parser(tmp_path):
+    """SubGNN-format TSV + edge list parse (reference datasets.py:127-227),
+    including the val<test swap quirk (datasets.py:175-176)."""
+    _write_subgnn_dataset(tmp_path, "ppi_bp")
+    base = load_dataset("ppi_bp", data_root=str(tmp_path))
+    assert base.pos.shape[0] == 5
+    # val (1) < test (2) -> splits swapped: mask counts = [2 train, 2 val, 1 test]
+    assert (base.mask == 0).sum() == 2
+    assert (base.mask == 1).sum() == 2
+    assert (base.mask == 2).sum() == 1
+    assert base.n_node == 10
+    assert set(np.unique(base.y)) == {0, 1}
+    from glass_tpu.data.basegraph import is_undirected
+
+    assert is_undirected(base.edge_index)
+
+
+def test_real_dataset_multilabel(tmp_path):
+    _write_subgnn_dataset(tmp_path, "hpo_neuro", multilabel=True)
+    base = load_dataset("hpo_neuro", data_root=str(tmp_path))
+    assert base.y.ndim == 2 and base.y.shape[1] == 2
+    np.testing.assert_array_equal(base.y[0], [1.0, 1.0])  # A-B k-hot
+    assert base.binary  # multilabel -> BCE path
+    assert base.output_channels == 2
