@@ -50,13 +50,20 @@ def bench_glass_tpu(ei, n, hidden=64, iters=200):
     from glass_tpu.ops.graph import build_graph
     from glass_tpu.ops.spmm import spmm
 
-    graph = build_graph(ei, None, n, "gcn", materialize_dense=True)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(n, hidden)).astype(np.float32))
 
     best = 0.0
-    for mode in ("dense", "segment"):
+    variants = [
+        ("dense-f32", "f32", "dense"),
+        ("dense-bf16", "bf16", "dense"),
+        ("segment", "f32", "segment"),
+    ]
+    for name, ddtype, mode in variants:
+        graph = build_graph(ei, None, n, "gcn", materialize_dense=True,
+                            dense_dtype=ddtype)
+
         @jax.jit
-        def many(x0, mode=mode):
+        def many(x0, graph=graph, mode=mode):
             def step(h, _):
                 return spmm(graph, h, mode), None
 
@@ -68,7 +75,7 @@ def bench_glass_tpu(ei, n, hidden=64, iters=200):
         many(x).block_until_ready()
         dt = (time.perf_counter() - t0) / iters
         eps = graph.n_edge / dt
-        print(f"  glass_tpu spmm[{mode}]: {dt * 1e6:.1f} us/iter = {eps / 1e9:.3f} G edges/s",
+        print(f"  glass_tpu spmm[{name}]: {dt * 1e6:.1f} us/iter = {eps / 1e9:.3f} G edges/s",
               file=sys.stderr)
         best = max(best, eps)
     return best

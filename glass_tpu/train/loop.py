@@ -60,6 +60,10 @@ class TrainConfig:
     use_z: bool = True  # --use_maxzeroone
     plateau_patience: int = 10
     plateau_threshold: float = 1e-4
+    # Custom node-labeling hook (the reference ZGDataloader's z_fn,
+    # impl/SubGDataset.py:75-96): (pos, n_node) -> (n_node,) labels. None =
+    # the zero-one MaxZOZ trick. Must be jit-traceable.
+    z_fn: Optional[Callable] = None
 
 
 class Trainer:
@@ -101,8 +105,14 @@ class Trainer:
 
     # ----------------------------------------------------------------- train
 
+    def _z(self, pos):
+        if not self.cfg.use_z:
+            return None
+        z_fn = self.cfg.z_fn or max_zero_one
+        return z_fn(pos, self.graph.n_node)
+
     def _step_loss(self, params, pos, y, dropout_key):
-        z = max_zero_one(pos, self.graph.n_node) if self.cfg.use_z else None
+        z = self._z(pos)
         logits = self.model.apply(
             params,
             self.graph,
@@ -153,8 +163,7 @@ class Trainer:
 
     def _eval_impl(self, params, pos_b):
         def step(_, pos):
-            z = max_zero_one(pos, self.graph.n_node) if self.cfg.use_z else None
-            logits = self.model.apply(params, self.graph, self.x, pos, z)
+            logits = self.model.apply(params, self.graph, self.x, pos, self._z(pos))
             return None, logits
 
         _, logits = jax.lax.scan(step, None, pos_b)

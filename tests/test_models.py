@@ -127,6 +127,33 @@ def test_embzgconv_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=5e-4, atol=5e-5)
 
 
+def test_glass_full_model_matches_oracle(rng):
+    """End-to-end GLASS forward (trunk + size pool + linear head) vs the
+    torch oracle with identical weights."""
+    ei, g = small_graph(rng, "sum")
+    x_int = rng.integers(0, 5, size=(N, 1)).astype(np.int32)
+    z = (rng.random(N) < 0.3).astype(np.int32)
+    pos = np.array([[0, 1, 2, -1], [5, 6, 7, 8]])
+
+    m = GLASS(max_deg=4, hidden_channels=H, num_layers=2,
+              output_channels=(3,), pools=("size",), dropout=0.0,
+              activation="elu", z_ratio=0.7, jk=True)
+    params = m.init(jax.random.PRNGKey(2), g, jnp.asarray(x_int),
+                    jnp.asarray(pos), jnp.asarray(z))
+    logits = m.apply(params, g, jnp.asarray(x_int), jnp.asarray(pos), jnp.asarray(z))
+
+    p = jax.tree.map(np.asarray, params["params"])
+    emb = t_embzgconv(x_int[:, 0].astype(np.int64), z, t_adj(ei, N, "sum"),
+                      p["conv"], 2, 0.7, torch.nn.functional.elu, jk=True)
+    pooled = []
+    for nodes in [[0, 1, 2], [5, 6, 7, 8]]:
+        sel = emb[torch.tensor(nodes)]
+        pooled.append(sel.sum(0) / np.sqrt(len(nodes)))  # SizePool
+    pooled = torch.stack(pooled)
+    ref = t_linear(pooled, p["pred_0"]["kernel"], p["pred_0"]["bias"])
+    np.testing.assert_allclose(np.asarray(logits), ref.numpy(), rtol=1e-3, atol=1e-4)
+
+
 def test_glass_forward_shapes_and_z_none(rng):
     _, g = small_graph(rng)
     x_int = rng.integers(0, 5, size=(N, 1)).astype(np.int32)

@@ -125,6 +125,31 @@ def test_trainer_end_to_end_loss_decreases(rng):
     assert acc > 0.8, f"toy accuracy {acc}"
 
 
+def test_custom_z_fn_hook(rng):
+    """TrainConfig.z_fn replaces the MaxZOZ labeling (the reference
+    ZGDataloader z_fn extension point)."""
+    import jax.numpy as jnp
+    from glass_tpu.ops.graph import build_graph
+    from glass_tpu.nn.modules import GLASS
+
+    ei, n, pos, y = _toy_problem(rng)
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    model = GLASS(max_deg=1, hidden_channels=8, num_layers=1,
+                  output_channels=(2,), pools=("mean",), dropout=0.0,
+                  activation="elu", z_ratio=0.8, jk=True)
+    x = jnp.ones((n, 1), dtype=jnp.int32)
+
+    all_ones = lambda pos, n_node: jnp.ones(n_node, dtype=jnp.int32)
+    cfg1 = TrainConfig(batch_size=8, loss="ce", use_z=True, z_fn=all_ones)
+    cfg2 = TrainConfig(batch_size=8, loss="ce", use_z=True)
+    t1, t2 = Trainer(model, g, x, cfg1), Trainer(model, g, x, cfg2)
+    params, _, _ = t1.init(0, jnp.asarray(pos[:8]))
+    eb, _, nr = make_eval_batches(pos, y, 8)
+    l1 = t1.evaluate(params, jnp.asarray(eb), nr)
+    l2 = t2.evaluate(params, jnp.asarray(eb), nr)
+    assert not np.allclose(l1, l2)  # different labeling -> different logits
+
+
 def test_trainer_eval_padding_does_not_leak(rng):
     """Eval padding rows must not change real samples' logits: compare a
     batch-size that divides the split exactly vs one that pads."""
