@@ -46,6 +46,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--emb_path", type=str, default="Emb",
                         help="directory with pretrained {dataset}_{hidden}.npz tables")
     parser.add_argument("--max_epochs", type=int, default=300)
+    parser.add_argument("--ckpt_dir", type=str, default=None,
+                        help="save best-val params per repeat as npz checkpoints")
     return parser
 
 
@@ -106,6 +108,7 @@ def main(argv=None):
         dense_dtype=args.dense_dtype,
         node_emb=node_emb,
         data_root=args.data_root,
+        ckpt_dir=args.ckpt_dir,
         **params,
     )
     _, mean, err = run_experiment(cfg)

@@ -63,6 +63,7 @@ class ExperimentConfig:
     # framework knobs
     spmm_mode: Optional[str] = None
     dense_dtype: str = "f32"  # "bf16" halves SpMM HBM traffic (non-parity)
+    ckpt_dir: Optional[str] = None  # save best-val params per repeat
     node_emb: Optional[np.ndarray] = None  # pretrained (N, hidden) table
     data_root: Optional[str] = None
 
@@ -183,6 +184,12 @@ def _run_one(cfg: ExperimentConfig, seed: int, log: Callable[[str], None]) -> fl
                 val_score = score
                 tst_best = tst_score()
                 log(f"iter {i} loss {loss_val:.4f} val {val_score:.4f} tst {tst_best:.4f}")
+                if cfg.ckpt_dir is not None:
+                    from glass_tpu.utils.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        f"{cfg.ckpt_dir}/{cfg.dataset}_seed{seed}_best.npz", params
+                    )
             elif score >= val_score - 1e-5:
                 probe = tst_score()
                 tst_best = max(probe, tst_best)
