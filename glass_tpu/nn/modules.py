@@ -112,6 +112,32 @@ class MLP(nn.Module):
         return x
 
 
+class AttentionConv(nn.Module):
+    """GAT-style attention message passing built on the SDDMM/SpMM kernel
+    pair (framework capability beyond the reference — ops/sddmm.py).
+
+    score(i,j) = leaky_relu(<a_dst, W x_i> + <a_src, W x_j>), softmax over
+    incoming edges, then attention-weighted aggregation.
+    """
+
+    out_channels: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, graph: Graph, x, *, training: bool = False):
+        from glass_tpu.ops.sddmm import segment_softmax
+
+        h = TorchLinear(self.out_channels, name="proj")(x)
+        a_dst = self.param("att_dst", nn.initializers.normal(0.1), (self.out_channels,))
+        a_src = self.param("att_src", nn.initializers.normal(0.1), (self.out_channels,))
+        s_dst = h @ a_dst  # (N,)
+        s_src = h @ a_src
+        scores = s_dst[graph.row] + s_src[graph.col]
+        scores = jax.nn.leaky_relu(scores, self.negative_slope)
+        att = segment_softmax(graph, scores)
+        return spmm(graph.replace(weight=att, dense=None), h, "segment")
+
+
 class GLASSConv(nn.Module):
     """The labeling-trick dual-weight message-passing layer
     (reference: impl/models.py:114-174).

@@ -57,3 +57,17 @@ def test_attention_aggregation_composes(rng):
     i = int(row[0])
     nb = col[row == i]
     assert out[i].max() <= xn[nb].max() + 1e-5
+
+
+def test_attention_conv_forward(rng):
+    import jax
+    from glass_tpu.nn.modules import AttentionConv
+
+    ei, n = rand_graph(rng, n=40, e=100)
+    g = build_graph(ei, None, n, "sum")
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    m = AttentionConv(out_channels=16)
+    params = m.init(jax.random.PRNGKey(0), g, x)
+    out = m.apply(params, g, x)
+    assert out.shape == (40, 16)
+    assert np.isfinite(np.asarray(out)).all()
