@@ -180,3 +180,36 @@ class ShardedTrainer:
 
     def eval_step(self, params, pos):
         return self._eval_step(params, jnp.asarray(pos), self.x_padded, *self.gparts)
+
+    # ------------------------------------------------- Trainer-compatible API
+
+    def train_epoch(self, params, opt_state, plateau, rng, pos_b, y_b):
+        """Epoch over pre-batched (nb, B, ...) arrays with the plateau step,
+        signature-compatible with train.loop.Trainer so the experiment
+        protocol can drive sharded training unchanged. Steps dispatch
+        host-side (the sharded step is itself one jitted program)."""
+        from glass_tpu.train.schedule import plateau_step
+
+        losses = []
+        for b in range(pos_b.shape[0]):
+            rng, _ = jax.random.split(rng)
+            params, opt_state, loss = self.train_step(
+                params, opt_state, plateau.lr, rng, pos_b[b], y_b[b]
+            )
+            losses.append(loss)
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        plateau = plateau_step(
+            plateau, mean_loss, factor=self.cfg.resi, min_lr=self.cfg.min_lr,
+            patience=self.cfg.plateau_patience, threshold=self.cfg.plateau_threshold,
+        )
+        return params, opt_state, plateau, rng, mean_loss
+
+    def init_like_trainer(self, seed: int, pos_example):
+        return self.init(seed, np.asarray(pos_example))
+
+    def evaluate(self, params, pos_b, n_real: int) -> np.ndarray:
+        """Batched eval over (nb, B, L) pos; returns host logits[:n_real]."""
+        outs = [np.asarray(self.eval_step(params, pos_b[b]))
+                for b in range(pos_b.shape[0])]
+        logits = np.concatenate(outs, axis=0)
+        return logits[:n_real]

@@ -64,6 +64,10 @@ class ExperimentConfig:
     spmm_mode: Optional[str] = None
     dense_dtype: str = "f32"  # "bf16" halves SpMM HBM traffic (non-parity)
     ckpt_dir: Optional[str] = None  # save best-val params per repeat
+    # multi-chip: node-partition the graph over this many mesh shards
+    # (requires graph_shards * data_shards devices); 1 = single-device
+    graph_shards: int = 1
+    data_shards: int = 1
     node_emb: Optional[np.ndarray] = None  # pretrained (N, hidden) table
     data_root: Optional[str] = None
 
@@ -134,7 +138,18 @@ def _run_one(cfg: ExperimentConfig, seed: int, log: Callable[[str], None]) -> fl
     trn_y, val_y, tst_y = (a.astype(ydtype) for a in (trn_y, val_y, tst_y))
 
     x = jnp.asarray(base.x.astype(np.int32))
-    trainer = Trainer(model, graph, x, tcfg)
+    if cfg.graph_shards > 1 or cfg.data_shards > 1:
+        from glass_tpu.parallel.mesh import make_mesh
+        from glass_tpu.parallel.partition import partition_graph
+        from glass_tpu.parallel.train import ShardedTrainer
+
+        mesh = make_mesh(graph_shards=cfg.graph_shards,
+                         data_shards=cfg.data_shards)
+        pg = partition_graph(base.edge_index, base.edge_weight, base.n_node,
+                             cfg.aggr, cfg.graph_shards)
+        trainer = ShardedTrainer(model, pg, base.x, tcfg, mesh)
+    else:
+        trainer = Trainer(model, graph, x, tcfg)
     params, opt_state, plateau = trainer.init(
         seed, jnp.asarray(trn_pos[: cfg.batch_size])
     )

@@ -144,6 +144,23 @@ def test_sharded_training_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-2)
 
 
+def test_sharded_protocol_end_to_end():
+    """The experiment protocol runs unchanged over a (2 data x 4 graph) mesh
+    via the Trainer-compatible ShardedTrainer facade."""
+    from glass_tpu.train.protocol import ExperimentConfig, run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="density", pool="size", aggr="sum", hidden_dim=8,
+        conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=2,
+        resi=0.9, feature="one", use_maxzeroone=True, repeat=1,
+        max_epochs=18, graph_shards=4, data_shards=2,
+    )
+    logs = []
+    scores, mean, err = run_experiment(cfg, log=logs.append)
+    assert 0.0 <= mean <= 1.0
+    assert any("iter" in l for l in logs), logs[-3:]
+
+
 def test_sharded_eval_matches_single_device(rng):
     ei, n = toy(rng)
     n_sub, L = 8, 5
