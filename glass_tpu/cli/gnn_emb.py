@@ -21,6 +21,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_one", action="store_true")
     parser.add_argument("--use_nodeid", action="store_true")
     parser.add_argument("--repeat", type=int, default=1)
+    # reference-compat no-op flags (GNNEmb.py:24-25)
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--abl", action="store_true")
     parser.add_argument("--optruns", type=int, default=100)
     parser.add_argument("--path", type=str, default="Emb/")
     parser.add_argument("--name", type=str, default=None,

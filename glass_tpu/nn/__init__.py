@@ -5,5 +5,7 @@ from glass_tpu.nn.modules import (
     EmbZGConv,
     GLASS,
     TorchLinear,
+    AttentionConv,
 )
 from glass_tpu.nn.pretrain import MyGCNConv, EmbGConv, EdgeGNN
+from glass_tpu.nn.seg import GSegGNN, DenseGCNConv, DenseGINConv, MaskedGraphNorm
