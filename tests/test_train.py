@@ -125,6 +125,30 @@ def test_trainer_end_to_end_loss_decreases(rng):
     assert acc > 0.8, f"toy accuracy {acc}"
 
 
+def test_auroc_metric(rng):
+    from glass_tpu.train.metrics import auroc
+    from sklearn.metrics import roc_auc_score
+
+    y = rng.integers(0, 2, size=50)
+    pred = rng.normal(size=50)
+    assert auroc(pred, y) == pytest.approx(roc_auc_score(y, pred))
+
+
+def test_protocol_without_labeling_trick():
+    """use_maxzeroone=False (plain GDataloader mode): z=None throughout."""
+    from glass_tpu.train.protocol import ExperimentConfig, run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="density", pool="size", aggr="sum", hidden_dim=8,
+        conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=2,
+        resi=0.9, feature="one", use_maxzeroone=False, repeat=1,
+        max_epochs=18, spmm_mode="segment",
+    )
+    logs = []
+    scores, mean, err = run_experiment(cfg, log=logs.append)
+    assert 0.0 <= mean <= 1.0  # without labels density is near-chance; just run
+
+
 def test_custom_z_fn_hook(rng):
     """TrainConfig.z_fn replaces the MaxZOZ labeling (the reference
     ZGDataloader z_fn extension point)."""
