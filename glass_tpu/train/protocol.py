@@ -106,11 +106,6 @@ def _run_one(cfg: ExperimentConfig, seed: int, log: Callable[[str], None]) -> fl
     loss = "bce" if binary else "ce"
     score_fn = binary_f1 if binary else micro_f1
 
-    graph = build_graph(
-        base.edge_index, base.edge_weight, base.n_node, cfg.aggr,
-        materialize_dense=None if cfg.spmm_mode is None else cfg.spmm_mode == "dense",
-        dense_dtype=cfg.dense_dtype,
-    )
     model = GLASS(
         max_deg=base.max_deg,
         hidden_channels=cfg.hidden_dim,
@@ -149,6 +144,13 @@ def _run_one(cfg: ExperimentConfig, seed: int, log: Callable[[str], None]) -> fl
                              cfg.aggr, cfg.graph_shards)
         trainer = ShardedTrainer(model, pg, base.x, tcfg, mesh)
     else:
+        graph = build_graph(
+            base.edge_index, base.edge_weight, base.n_node, cfg.aggr,
+            materialize_dense=(
+                None if cfg.spmm_mode is None else cfg.spmm_mode == "dense"
+            ),
+            dense_dtype=cfg.dense_dtype,
+        )
         trainer = Trainer(model, graph, x, tcfg)
     params, opt_state, plateau = trainer.init(
         seed, jnp.asarray(trn_pos[: cfg.batch_size])
@@ -179,7 +181,7 @@ def _run_one(cfg: ExperimentConfig, seed: int, log: Callable[[str], None]) -> fl
     nb_per_epoch = trn_y.shape[0] // cfg.batch_size
     meter = StepMeter(
         # one SpMM edge-traversal per conv layer, forward; backward ~doubles
-        edges_per_step=graph.n_edge * cfg.conv_layer * 2,
+        edges_per_step=base.edge_index.shape[1] * cfg.conv_layer * 2,
         subgraphs_per_step=cfg.batch_size,
     )
     val_score, tst_best, early_stop = 0.0, 0.0, 0
