@@ -108,6 +108,29 @@ class BaseGraphData:
         whether that self-loop exists (datasets.py:82-90)."""
         ei = self.edge_index
         n, e = self.n_node, ei.shape[1]
+
+        # native sampler when built (native/glass_host.cpp); numpy fallback
+        from glass_tpu import native
+
+        seed = int(rng.integers(0, 2**63 - 1))
+        neg_native = None
+        try:
+            neg_native = native.negative_sample(ei, n, e, seed)
+        except RuntimeError:
+            neg_native = None  # graph too dense for e non-edges: fall back
+        if neg_native is not None:
+            pos = np.concatenate([ei, neg_native], axis=1).T
+            y = np.concatenate(
+                [np.ones(e, dtype=np.float32), np.zeros(e, dtype=np.float32)]
+            )
+            if use_loop:
+                loops = np.stack([np.arange(n)] * 2, axis=1)
+                has_loop = np.zeros(n, dtype=np.float32)
+                has_loop[ei[0][ei[0] == ei[1]]] = 1.0
+                pos = np.concatenate([pos, loops])
+                y = np.concatenate([y, has_loop])
+            return pos.astype(np.int64), y
+
         existing = np.unique(ei[0].astype(np.int64) * n + ei[1].astype(np.int64))
         chunks, got, rounds = [], 0, 0
         # vectorized rejection sampling, chunked; dense graphs may not have

@@ -199,7 +199,10 @@ class EmbZGConv(nn.Module):
         # x: (N,) int32 feature ids; z: (N,) zero-one labels or None.
         act = ACTIVATIONS[self.activation]
         if z is None:
-            mask = jnp.zeros((x.shape[0], 1), dtype=bool)
+            # reference parity: z=None builds mask = (zeros < 0.5) = all TRUE
+            # (impl/models.py:242-244), i.e. every node uses the "1" branch —
+            # NOT the same as an all-zero z.
+            mask = jnp.ones((x.shape[0], 1), dtype=bool)
         else:
             mask = (z > 0.5).reshape(-1, 1)
 

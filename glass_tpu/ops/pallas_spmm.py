@@ -222,27 +222,80 @@ def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
 # --------------------------------------------------------------------------
 # Graph-level entry (ops.spmm dispatch target)
 
+_BCSR_HOST_CACHE: dict = {}
+
+
+def _zero_cotangent(a):
+    """Zero cotangent with the dtype jax expects: float0 for integer primals."""
+    if jnp.issubdtype(a.dtype, jnp.inexact):
+        return jnp.zeros_like(a)
+    return np.zeros(a.shape, jax.dtypes.float0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_diff_bcsr_spmm(n_rb: int, n_node: int, interpret: bool):
+    """Differentiable BCSR SpMM, cached per static shape config.
+
+    Forward is the Pallas kernel (which has no autodiff rule); backward is
+    dx = A^T @ g as a segment-sum over the swapped COO edge list — exact for
+    any (asymmetric) normalization.
+    """
+
+    @jax.custom_vjp
+    def f(blocks, bcol, bptr, row, col, weight, x):
+        bcsr = BCSR(blocks=blocks, block_col=bcol, block_row_ptr=bptr,
+                    n_rb=n_rb, n_cb=n_rb, n_node=n_node)
+        return bcsr_spmm(bcsr, x, interpret=interpret)
+
+    def fwd(blocks, bcol, bptr, row, col, weight, x):
+        return f(blocks, bcol, bptr, row, col, weight, x), (
+            blocks, bcol, bptr, row, col, weight,
+        )
+
+    def bwd(res, g):
+        blocks, bcol, bptr, row, col, weight = res
+        gathered = g[row] * weight[:, None]
+        dx = jax.ops.segment_sum(
+            gathered, col, num_segments=n_node, indices_are_sorted=False
+        )
+        return (
+            jnp.zeros_like(blocks),  # adjacency is constant data
+            _zero_cotangent(bcol),
+            _zero_cotangent(bptr),
+            _zero_cotangent(row),
+            _zero_cotangent(col),
+            jnp.zeros_like(weight),
+            dx,
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
+
 
 def spmm_pallas(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
-    """SpMM via the BCSR Pallas kernel. Prefers the layout prebuilt on the
-    Graph (build_graph(materialize_bcsr=True)); otherwise builds it from the
-    COO arrays (device readback — avoid on remote-TPU tunnels). Falls back to
-    interpret mode off-TPU."""
+    """SpMM via the BCSR Pallas kernel, differentiable (custom VJP: backward
+    is the transposed segment-sum SpMM). Prefers the layout prebuilt on the
+    Graph (build_graph(materialize_bcsr=True)); otherwise builds it once from
+    the COO arrays (device readback — avoid on remote-TPU tunnels; cached per
+    graph identity). Falls back to interpret mode off-TPU."""
     if graph.bcsr_blocks is not None:
-        bcsr = BCSR(
-            blocks=graph.bcsr_blocks,
-            block_col=graph.bcsr_col,
-            block_row_ptr=graph.bcsr_ptr,
-            n_rb=graph.n_rb,
-            n_cb=graph.n_rb,
-            n_node=graph.n_node,
+        blocks, bcol, bptr, n_rb = (
+            graph.bcsr_blocks, graph.bcsr_col, graph.bcsr_ptr, graph.n_rb,
         )
     else:
-        bcsr = build_bcsr(
-            np.asarray(graph.row),
-            np.asarray(graph.col),
-            np.asarray(graph.weight),
-            graph.n_node,
+        key = (id(graph.weight), graph.n_node)
+        cached = _BCSR_HOST_CACHE.get(key)
+        if cached is None:
+            cached = build_bcsr(
+                np.asarray(graph.row),
+                np.asarray(graph.col),
+                np.asarray(graph.weight),
+                graph.n_node,
+            )
+            _BCSR_HOST_CACHE[key] = cached
+        blocks, bcol, bptr, n_rb = (
+            cached.blocks, cached.block_col, cached.block_row_ptr, cached.n_rb,
         )
     interpret = jax.default_backend() != "tpu"
-    return bcsr_spmm(bcsr, x, interpret=interpret)
+    f = _make_diff_bcsr_spmm(n_rb, graph.n_node, interpret)
+    return f(blocks, bcol, bptr, graph.row, graph.col, graph.weight, x)

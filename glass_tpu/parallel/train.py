@@ -162,7 +162,10 @@ class ShardedTrainer:
         g0 = Graph(
             row=self.gparts[0][0], col=jnp.zeros_like(self.gparts[1][0]),
             weight=self.gparts[2][0],
-            dense=None,
+            # square dummy so a dense-mode model traces; params are
+            # independent of the adjacency contents
+            dense=(jnp.zeros((self.pg.block, self.pg.block), jnp.float32)
+                   if self.has_dense else None),
             n_node=self.pg.block, n_edge=self.pg.n_edge, aggr=self.pg.aggr,
         )
         x0 = self.x_padded[: self.pg.block]

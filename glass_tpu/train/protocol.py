@@ -141,7 +141,8 @@ def _run_one(cfg: ExperimentConfig, seed: int, log: Callable[[str], None]) -> fl
         mesh = make_mesh(graph_shards=cfg.graph_shards,
                          data_shards=cfg.data_shards)
         pg = partition_graph(base.edge_index, base.edge_weight, base.n_node,
-                             cfg.aggr, cfg.graph_shards)
+                             cfg.aggr, cfg.graph_shards,
+                             materialize_dense=cfg.spmm_mode == "dense")
         trainer = ShardedTrainer(model, pg, base.x, tcfg, mesh)
     else:
         graph = build_graph(
@@ -150,6 +151,7 @@ def _run_one(cfg: ExperimentConfig, seed: int, log: Callable[[str], None]) -> fl
                 None if cfg.spmm_mode is None else cfg.spmm_mode == "dense"
             ),
             dense_dtype=cfg.dense_dtype,
+            materialize_bcsr=cfg.spmm_mode == "pallas",
         )
         trainer = Trainer(model, graph, x, tcfg)
     params, opt_state, plateau = trainer.init(

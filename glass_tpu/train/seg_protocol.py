@@ -100,12 +100,21 @@ def run_seg_experiment(cfg: SegConfig, log: Callable[[str], None] = print):
         return params, opt_state, rng, losses.mean()
 
     @jax.jit
-    def infer(params, data):
-        an, asum, f, m, _ = data
+    def infer(params, an, asum, f, m):
         return model.apply(params, an, asum, f, m)
 
     def score(params, data):
-        return score_fn(np.asarray(infer(params, data)), np.asarray(data[-1]))
+        """Evaluates in |test|-sized batches like the reference's tloader
+        (GNNSeg.py:290-292, batch_size=len(tst), shuffle=False): GraphNorm
+        statistics couple the subgraphs *within* an eval batch, so batch
+        boundaries are part of the protocol."""
+        an, asum, f, m, y = data
+        n = an.shape[0]
+        outs = []
+        for s in range(0, n, batch_size):
+            sl = slice(s, min(s + batch_size, n))
+            outs.append(np.asarray(infer(params, an[sl], asum[sl], f[sl], m[sl])))
+        return score_fn(np.concatenate(outs, axis=0), np.asarray(y))
 
     outs = []
     for repeat in range(cfg.repeat):

@@ -66,6 +66,7 @@ def pretrain_once(
     graph = build_graph(
         base.edge_index, base.edge_weight, base.n_node, cfg.aggr,
         materialize_dense=None if cfg.spmm_mode is None else cfg.spmm_mode == "dense",
+        materialize_bcsr=cfg.spmm_mode == "pallas",
     )
     pos_all, y_all = base.get_lp_dataset(rng)
     # 95/5 train/val split of edge pairs (reference: GNNEmb.py:59-64)

@@ -165,9 +165,12 @@ def test_glass_forward_shapes_and_z_none(rng):
     params = m.init(jax.random.PRNGKey(0), g, jnp.asarray(x_int), pos, z)
     logits = m.apply(params, g, jnp.asarray(x_int), pos, z)
     assert logits.shape == (2, 3)
-    # z=None must equal an all-zero z (reference impl/models.py:240-246)
+    # reference parity (impl/models.py:240-246): z=None builds an all-TRUE
+    # mask, equal to z = ones and different from z = zeros
     logits_none = m.apply(params, g, jnp.asarray(x_int), pos, None)
-    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_none), rtol=1e-6)
+    logits_ones = m.apply(params, g, jnp.asarray(x_int), pos, jnp.ones(N, jnp.int32))
+    np.testing.assert_allclose(np.asarray(logits_none), np.asarray(logits_ones), rtol=1e-6)
+    assert not np.allclose(np.asarray(logits_none), np.asarray(logits))
 
 
 def test_glass_train_mode_dropout_needs_rng(rng):

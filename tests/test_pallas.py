@@ -60,6 +60,42 @@ def test_bcsr_empty_row_block(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_spmm_pallas_gradient(rng):
+    """Training through the pallas path must differentiate (custom VJP:
+    A^T @ g): gradient matches the dense path's."""
+    import jax
+
+    ei = rand_graph(rng, 200, 600)
+    g = build_graph(ei, None, 200, "mean", materialize_dense=True,
+                    materialize_bcsr=True)
+    x = jnp.asarray(rng.normal(size=(200, 8)).astype(np.float32))
+
+    def loss_pallas(x):
+        return (spmm(g, x, "pallas") ** 2).sum()
+
+    def loss_dense(x):
+        return (spmm(g, x, "dense") ** 2).sum()
+
+    gp = jax.grad(loss_pallas)(x)
+    gd = jax.grad(loss_dense)(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), rtol=1e-3, atol=1e-4)
+
+
+def test_protocol_with_pallas_spmm_trains():
+    """Regression: ExperimentConfig(spmm_mode='pallas') must train end to end
+    (previously crashed with NotImplementedError in pallas_call's jvp)."""
+    from glass_tpu.train.protocol import ExperimentConfig, run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="density", pool="size", aggr="sum", hidden_dim=8,
+        conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=2,
+        resi=0.9, feature="one", use_maxzeroone=True, repeat=1,
+        max_epochs=2, spmm_mode="pallas",
+    )
+    scores, mean, err = run_experiment(cfg, log=lambda *_: None)
+    assert 0.0 <= mean <= 1.0
+
+
 def test_spmm_pallas_dispatch(rng):
     """spmm(graph, x, 'pallas') routes through the BCSR kernel."""
     ei = rand_graph(rng, 200, 600)

@@ -144,21 +144,25 @@ def test_sharded_training_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-2)
 
 
-def test_sharded_protocol_end_to_end():
+@pytest.mark.parametrize("spmm_mode", [None, "dense"])
+def test_sharded_protocol_end_to_end(spmm_mode):
     """The experiment protocol runs unchanged over a (2 data x 4 graph) mesh
-    via the Trainer-compatible ShardedTrainer facade."""
+    via the Trainer-compatible ShardedTrainer facade (also with the dense
+    SpMM strategy, which requires the partition to materialize row blocks)."""
     from glass_tpu.train.protocol import ExperimentConfig, run_experiment
 
     cfg = ExperimentConfig(
         dataset="density", pool="size", aggr="sum", hidden_dim=8,
         conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=2,
         resi=0.9, feature="one", use_maxzeroone=True, repeat=1,
-        max_epochs=18, graph_shards=4, data_shards=2,
+        max_epochs=18 if spmm_mode is None else 2,
+        graph_shards=4, data_shards=2, spmm_mode=spmm_mode,
     )
     logs = []
     scores, mean, err = run_experiment(cfg, log=logs.append)
     assert 0.0 <= mean <= 1.0
-    assert any("iter" in l for l in logs), logs[-3:]
+    if spmm_mode is None:
+        assert any("iter" in l for l in logs), logs[-3:]
 
 
 def test_sharded_eval_matches_single_device(rng):
