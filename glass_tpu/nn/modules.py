@@ -160,6 +160,8 @@ class GLASSConv(nn.Module):
     def __call__(self, graph: Graph, x_, mask, *, training: bool = False):
         act = ACTIVATIONS[self.activation]
         zr = self.z_ratio
+        # the two label-branch Linears share their input; XLA's dot-merger
+        # combines them into one MXU matmul, so no manual fusion is needed
         x1 = act(TorchLinear(self.out_channels, name="trans_1")(x_))
         x0 = act(TorchLinear(self.out_channels, name="trans_0")(x_))
         x = jnp.where(mask, zr * x1 + (1 - zr) * x0, zr * x0 + (1 - zr) * x1)

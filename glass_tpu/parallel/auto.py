@@ -1,0 +1,49 @@
+"""GSPMD auto-sharded data parallelism.
+
+The second of the framework's two distributed modes (the scaling-book
+recipe: pick a mesh, annotate shardings, let XLA insert the collectives):
+
+- the graph and parameters are replicated,
+- the subgraph-batch dimension of every step is sharded over 'data',
+- the *same* jitted whole-epoch program as the single-device Trainer runs
+  partitioned — XLA places the batch compute per device and inserts the
+  gradient/statistics collectives automatically.
+
+This mode is mathematically identical to single-device execution (same XLA
+program, partitioned), which makes it the easy-scaling default for graphs
+that fit per chip — the explicit shard_map path (parallel/train.py) is for
+graphs that need node partitioning.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from glass_tpu.train.loop import Trainer, TrainConfig
+from glass_tpu.ops.graph import Graph
+
+
+class AutoTrainer(Trainer):
+    """Trainer whose jitted programs carry GSPMD sharding annotations:
+    batch dims split over the mesh's 'data' axis, everything else
+    replicated."""
+
+    def __init__(self, model, graph: Graph, x, cfg: TrainConfig, mesh: Mesh):
+        self.mesh = mesh
+        # donation is disabled: donated replicated buffers + resharding can
+        # fight; these models are small
+        super().__init__(model, graph, x, cfg, donate=False)
+        repl = NamedSharding(mesh, P())
+        batched = NamedSharding(mesh, P(None, "data"))  # (nb, B, ...) arrays
+
+        self._epoch = jax.jit(
+            self._epoch_impl,
+            in_shardings=(repl, repl, repl, repl, batched, batched),
+            out_shardings=(repl, repl, repl, repl),
+        )
+        self._eval = jax.jit(
+            self._eval_impl,
+            in_shardings=(repl, batched),
+            out_shardings=repl,
+        )

@@ -165,6 +165,45 @@ def test_sharded_protocol_end_to_end(spmm_mode):
         assert any("iter" in l for l in logs), logs[-3:]
 
 
+def test_auto_trainer_matches_single_device(rng):
+    """GSPMD auto-sharded DP: identical program partitioned over 8 devices
+    must reproduce the single-device epoch bit-for-bit (up to f32 order)."""
+    from glass_tpu.parallel.auto import AutoTrainer
+    from glass_tpu.parallel.mesh import make_mesh
+
+    ei, n = toy(rng)
+    n_sub, L = 16, 5
+    pos = np.stack([rng.choice(n, size=L, replace=False) for _ in range(n_sub)])
+    y = rng.integers(0, 3, size=n_sub)
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=2,
+                  output_channels=(3,), pools=("size",), dropout=0.0,
+                  activation="elu", z_ratio=0.8, jk=True)
+    x = jnp.asarray(rng.integers(0, 5, size=(n, 1)).astype(np.int32))
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    cfg = TrainConfig(lr=1e-2, batch_size=8, loss="ce", use_z=True)
+
+    ref = Trainer(model, g, x, cfg, donate=False)
+    params, opt_state, plateau = ref.init(0, jnp.asarray(pos[:8]))
+    key = jax.random.PRNGKey(3)
+    pos_b = jnp.asarray(pos.reshape(2, 8, L))
+    y_b = jnp.asarray(y.reshape(2, 8))
+    r_params, _, _, r_loss = ref._epoch(params, opt_state, plateau.lr, key, pos_b, y_b)
+
+    mesh = make_mesh(graph_shards=1, data_shards=8)
+    auto = AutoTrainer(model, g, x, cfg, mesh)
+    a_params, _, _, a_loss = auto._epoch(
+        params, auto.tx.init(params), plateau.lr, key, pos_b, y_b
+    )
+    np.testing.assert_allclose(float(a_loss), float(r_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(r_params), jax.tree.leaves(a_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+    # eval too
+    r_logits = ref.evaluate(params, pos_b, n_sub)
+    a_logits = auto.evaluate(params, pos_b, n_sub)
+    np.testing.assert_allclose(a_logits, r_logits, rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_eval_matches_single_device(rng):
     ei, n = toy(rng)
     n_sub, L = 8, 5
