@@ -86,17 +86,23 @@ def apply_feature(base: BaseGraphData, feature: str) -> None:
 def run_experiment(cfg: ExperimentConfig, log: Callable[[str], None] = print):
     """Runs ``cfg.repeat`` seeded repeats; returns (scores, mean, stderr)."""
     scores = []
+    cache: dict = {}
     for repeat in range(cfg.repeat):
         seed = (1 << repeat) - 1
         log(f"repeat {repeat} (seed {seed})")
-        scores.append(_run_one(cfg, seed, log))
+        scores.append(_run_one(cfg, seed, log, cache))
     mean = float(np.average(scores))
     err = float(np.std(scores) / np.sqrt(len(scores)))
     log(f"average {mean:.3f} error {err:.3f}")
     return scores, mean, err
 
 
-def _run_one(cfg: ExperimentConfig, seed: int, log: Callable[[str], None]) -> float:
+def _run_one(
+    cfg: ExperimentConfig,
+    seed: int,
+    log: Callable[[str], None],
+    cache: Optional[dict] = None,
+) -> float:
     rng = np.random.default_rng(seed)
     base = load_dataset(cfg.dataset, rng, cfg.data_root)
     apply_feature(base, cfg.feature)
@@ -132,28 +138,37 @@ def _run_one(cfg: ExperimentConfig, seed: int, log: Callable[[str], None]) -> fl
     ydtype = np.float32 if binary else np.int64
     trn_y, val_y, tst_y = (a.astype(ydtype) for a in (trn_y, val_y, tst_y))
 
-    x = jnp.asarray(base.x.astype(np.int32))
-    if cfg.graph_shards > 1 or cfg.data_shards > 1:
-        from glass_tpu.parallel.mesh import make_mesh
-        from glass_tpu.parallel.partition import partition_graph
-        from glass_tpu.parallel.train import ShardedTrainer
+    # Repeats re-roll the subgraph split, never the edges or the model config
+    # (reference: datasets.py:119-123 only permutes the mask), so both the
+    # device-resident graph (the dense adjacency alone can be ~100 MB) and
+    # the jitted Trainer programs are reused across repeats — only the
+    # parameters are re-initialized per seed.
+    trainer = None if cache is None else cache.get("trainer")
+    if trainer is None:
+        x = jnp.asarray(base.x.astype(np.int32))
+        if cfg.graph_shards > 1 or cfg.data_shards > 1:
+            from glass_tpu.parallel.mesh import make_mesh
+            from glass_tpu.parallel.partition import partition_graph
+            from glass_tpu.parallel.train import ShardedTrainer
 
-        mesh = make_mesh(graph_shards=cfg.graph_shards,
-                         data_shards=cfg.data_shards)
-        pg = partition_graph(base.edge_index, base.edge_weight, base.n_node,
-                             cfg.aggr, cfg.graph_shards,
-                             materialize_dense=cfg.spmm_mode == "dense")
-        trainer = ShardedTrainer(model, pg, base.x, tcfg, mesh)
-    else:
-        graph = build_graph(
-            base.edge_index, base.edge_weight, base.n_node, cfg.aggr,
-            materialize_dense=(
-                None if cfg.spmm_mode is None else cfg.spmm_mode == "dense"
-            ),
-            dense_dtype=cfg.dense_dtype,
-            materialize_bcsr=cfg.spmm_mode == "pallas",
-        )
-        trainer = Trainer(model, graph, x, tcfg)
+            mesh = make_mesh(graph_shards=cfg.graph_shards,
+                             data_shards=cfg.data_shards)
+            pg = partition_graph(base.edge_index, base.edge_weight, base.n_node,
+                                 cfg.aggr, cfg.graph_shards,
+                                 materialize_dense=cfg.spmm_mode == "dense")
+            trainer = ShardedTrainer(model, pg, base.x, tcfg, mesh)
+        else:
+            graph = build_graph(
+                base.edge_index, base.edge_weight, base.n_node, cfg.aggr,
+                materialize_dense=(
+                    None if cfg.spmm_mode is None else cfg.spmm_mode == "dense"
+                ),
+                dense_dtype=cfg.dense_dtype,
+                materialize_bcsr=cfg.spmm_mode == "pallas",
+            )
+            trainer = Trainer(model, graph, x, tcfg)
+        if cache is not None:
+            cache["trainer"] = trainer
     params, opt_state, plateau = trainer.init(
         seed, jnp.asarray(trn_pos[: cfg.batch_size])
     )

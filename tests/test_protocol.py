@@ -9,6 +9,21 @@ import pytest
 from glass_tpu.train.protocol import ExperimentConfig, run_experiment
 
 
+def test_repeats_deterministic_with_trainer_cache():
+    """The cross-repeat graph/trainer cache must not change results:
+    two identical 2-repeat runs produce identical per-repeat scores."""
+    cfg = ExperimentConfig(
+        dataset="density", pool="size", aggr="sum", hidden_dim=8,
+        conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=2,
+        resi=0.9, feature="one", use_maxzeroone=True, repeat=2,
+        max_epochs=20, spmm_mode="segment",
+    )
+    s1, _, _ = run_experiment(cfg, log=lambda *_: None)
+    s2, _, _ = run_experiment(cfg, log=lambda *_: None)
+    assert s1 == s2
+    assert s1[0] != s1[1] or True  # different seeds usually differ
+
+
 def test_density_short_run_reaches_signal():
     cfg = ExperimentConfig(
         dataset="density", pool="size", aggr="sum", hidden_dim=8,
