@@ -288,5 +288,12 @@ class GLASS(nn.Module):
 
     def __call__(self, graph: Graph, x, pos, z=None, *, training: bool = False, id: int = 0):
         emb = self.node_emb(graph, x, z, training=training)
-        pooled = pool_subgraphs(gather_global(graph, emb), pos, self.pools[id])
+        emb_g = gather_global(graph, emb)
+        if self.is_initializing():
+            # materialize every task head's params (the reference constructs
+            # all preds/pools up front, impl/models.py:329-334)
+            for i, head in enumerate(self.preds):
+                if i != id:
+                    head(pool_subgraphs(emb_g, pos, self.pools[i]))
+        pooled = pool_subgraphs(emb_g, pos, self.pools[id])
         return self.preds[id](pooled)

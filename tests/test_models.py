@@ -173,6 +173,42 @@ def test_glass_forward_shapes_and_z_none(rng):
     assert not np.allclose(np.asarray(logits_none), np.asarray(logits))
 
 
+def test_glass_multi_channel_features(rng):
+    """x with C>1 channels: NodeEmb loops channels and averages
+    (reference impl/models.py:336-344)."""
+    _, g = small_graph(rng)
+    x2 = rng.integers(0, 5, size=(N, 2)).astype(np.int32)
+    pos = jnp.asarray(np.array([[0, 1, -1]]))
+    m = GLASS(max_deg=4, hidden_channels=H, num_layers=1,
+              output_channels=(3,), pools=("mean",), dropout=0.0,
+              activation="elu", z_ratio=0.8, jk=True)
+    params = m.init(jax.random.PRNGKey(0), g, jnp.asarray(x2), pos, None)
+    out2 = m.apply(params, g, jnp.asarray(x2), pos, None)
+    # average of the two single-channel applications
+    outs = [
+        np.asarray(m.apply(params, g, jnp.asarray(x2[:, c:c + 1]), pos, None))
+        for c in range(2)
+    ]
+    # trunk output averages, then pool+head are linear in emb -> logits average
+    np.testing.assert_allclose(np.asarray(out2), (outs[0] + outs[1]) / 2,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_glass_multi_task_heads(rng):
+    """preds/pools lists with task selection via static id (reference
+    impl/models.py:326-334, multi-task-ready)."""
+    _, g = small_graph(rng)
+    x_int = rng.integers(0, 5, size=(N, 1)).astype(np.int32)
+    pos = jnp.asarray(np.array([[0, 1, -1], [3, 4, 5]]))
+    m = GLASS(max_deg=4, hidden_channels=H, num_layers=1,
+              output_channels=(3, 1), pools=("mean", "sum"), dropout=0.0,
+              activation="elu", z_ratio=0.8, jk=True)
+    params = m.init(jax.random.PRNGKey(0), g, jnp.asarray(x_int), pos, None)
+    out0 = m.apply(params, g, jnp.asarray(x_int), pos, None, id=0)
+    out1 = m.apply(params, g, jnp.asarray(x_int), pos, None, id=1)
+    assert out0.shape == (2, 3) and out1.shape == (2, 1)
+
+
 def test_glass_train_mode_dropout_needs_rng(rng):
     _, g = small_graph(rng)
     x_int = rng.integers(0, 5, size=(N, 1)).astype(np.int32)
