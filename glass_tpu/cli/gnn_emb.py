@@ -50,10 +50,10 @@ def main(argv=None):
 
     if args.use_one:
         feature = "one"
-    elif args.use_nodeid:
-        feature = "nodeid"
+    elif args.use_deg:
+        feature = "deg"
     else:
-        feature = "deg"  # reference recipe uses --use_deg
+        feature = "nodeid"  # reference recipe: --use_nodeid (README:55-57)
 
     name = args.name or args.dataset
     out_dir = Path(args.path)

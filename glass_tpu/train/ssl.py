@@ -38,7 +38,9 @@ from glass_tpu.train.schedule import plateau_init, plateau_step
 @dataclasses.dataclass
 class SSLConfig:
     dataset: str = "ppi_bp"
-    feature: str = "deg"  # GNNEmb is run with --use_deg in the README recipe
+    # the reference recipe runs GNNEmb with --use_nodeid (README:55-57):
+    # x = arange(N), i.e. a free trainable embedding row per node
+    feature: str = "nodeid"
     hidden_dim: int = 64
     conv_layer: int = 3
     dropout: float = 0.3
