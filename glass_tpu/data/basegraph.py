@@ -15,7 +15,7 @@ Conventions kept from the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ a warm-start embedding (reference: GNNEmb.py:186-188, GLASSTest.py:153-157).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

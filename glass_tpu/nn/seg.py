@@ -9,8 +9,6 @@ GNNSeg.py:117-118), reproduced here with masked reductions.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -26,10 +26,7 @@ Design:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ import dataclasses
 from typing import Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 from glass_tpu.ops.graph import Graph, normalized_edge_weight
 

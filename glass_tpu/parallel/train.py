@@ -18,9 +18,6 @@ slice. This module is also what the driver's multichip dry-run compiles.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -206,9 +203,6 @@ class ShardedTrainer:
             patience=self.cfg.plateau_patience, threshold=self.cfg.plateau_threshold,
         )
         return params, opt_state, plateau, rng, mean_loss
-
-    def init_like_trainer(self, seed: int, pos_example):
-        return self.init(seed, np.asarray(pos_example))
 
     def evaluate(self, params, pos_b, n_real: int) -> np.ndarray:
         """Batched eval over (nb, B, L) pos; returns host logits[:n_real]."""
