@@ -158,6 +158,52 @@ class Trainer:
         )
         return params, opt_state, plateau, rng, float(loss)
 
+    def _epochs_impl(self, params, opt_state, plateau, rng, pos_bs, y_bs):
+        """K epochs as ONE program: outer scan over epochs with the plateau
+        schedule advanced in-scan (identical math to K train_epoch calls).
+        Used before the protocol's eval gate opens, where nothing on the host
+        needs to observe intermediate state — on a remote accelerator this
+        removes K-1 dispatch round-trips."""
+
+        def epoch(carry, batch):
+            params, opt_state, plateau, rng = carry
+            pos_b, y_b = batch
+            opt_state.hyperparams["learning_rate"] = plateau.lr
+
+            def step(c, b):
+                params, opt_state, rng = c
+                pos, y = b
+                rng, dkey = jax.random.split(rng)
+                loss, grads = jax.value_and_grad(self._step_loss)(params, pos, y, dkey)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state, rng), loss
+
+            (params, opt_state, rng), losses = jax.lax.scan(
+                step, (params, opt_state, rng), (pos_b, y_b)
+            )
+            loss = losses.mean()
+            plateau = plateau_step(
+                plateau, loss, factor=self.cfg.resi, min_lr=self.cfg.min_lr,
+                patience=self.cfg.plateau_patience,
+                threshold=self.cfg.plateau_threshold,
+            )
+            return (params, opt_state, plateau, rng), loss
+
+        (params, opt_state, plateau, rng), losses = jax.lax.scan(
+            epoch, (params, opt_state, plateau, rng), (pos_bs, y_bs)
+        )
+        return params, opt_state, plateau, rng, losses
+
+    def train_epochs(self, params, opt_state, plateau, rng, pos_bs, y_bs):
+        """K epochs in one dispatch; pos_bs/y_bs: (K, nb, B, ...). Returns the
+        per-epoch loss vector."""
+        if not hasattr(self, "_epochs"):
+            self._epochs = jax.jit(self._epochs_impl)
+        params, opt_state, plateau, rng, losses = self._epochs(
+            params, opt_state, plateau, rng, pos_bs, y_bs
+        )
+        return params, opt_state, plateau, rng, np.asarray(losses)
+
     # ------------------------------------------------------------------ eval
 
     def _eval_impl(self, params, pos_b):

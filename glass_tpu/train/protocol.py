@@ -203,8 +203,28 @@ def _run_one(
     )
     val_score, tst_best, early_stop = 0.0, 0.0, 0
     t0 = time.time()
+
+    # Before the eval gate opens no host decision depends on per-epoch state,
+    # so run those epochs as one multi-epoch XLA program (plateau schedule
+    # advanced in-scan) — identical math, K-1 fewer dispatches.
     i = -1
-    for i in range(cfg.max_epochs):
+    loss_val = float("nan")
+    pre = min(int(np.floor(eval_after)) + (0 if eval_after == int(eval_after) else 1),
+              cfg.max_epochs)
+    if pre > 1 and hasattr(trainer, "train_epochs"):
+        batches = [make_train_batches(rng, trn_pos, trn_y, cfg.batch_size)
+                   for _ in range(pre)]
+        pos_bs = jnp.asarray(np.stack([b[0] for b in batches]))
+        y_bs = jnp.asarray(np.stack([b[1] for b in batches]))
+        meter.start()
+        params, opt_state, plateau, rng_jax, losses = trainer.train_epochs(
+            params, opt_state, plateau, rng_jax, pos_bs, y_bs
+        )
+        meter.tick(nb_per_epoch * pre)
+        loss_val = float(losses[-1])
+        i = pre - 1
+
+    for i in range(i + 1, cfg.max_epochs):
         pos_b, y_b = make_train_batches(rng, trn_pos, trn_y, cfg.batch_size)
         meter.start()  # time the training epoch only, not the evals
         params, opt_state, plateau, rng_jax, loss_val = trainer.train_epoch(

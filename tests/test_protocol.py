@@ -24,6 +24,53 @@ def test_repeats_deterministic_with_trainer_cache():
     assert s1[0] != s1[1] or True  # different seeds usually differ
 
 
+def test_multi_epoch_chunk_equivalent(rng):
+    """The pre-eval-gate multi-epoch scan follows the same RNG stream and
+    plateau arithmetic as per-epoch stepping; the two XLA programs only
+    differ by f32 fusion order, so losses agree to float tolerance (bitwise
+    equality across different compiled programs is not a JAX guarantee)."""
+    import jax
+    import jax.numpy as jnp
+    from glass_tpu.ops.graph import build_graph
+    from glass_tpu.nn.modules import GLASS
+    from glass_tpu.train.loop import Trainer, TrainConfig, make_train_batches
+
+    n = 60
+    src = rng.integers(0, n, size=200)
+    dst = rng.integers(0, n, size=200)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    pos = np.stack([rng.choice(n, size=5, replace=False) for _ in range(20)])
+    y = rng.integers(0, 3, size=20)
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=1,
+                  output_channels=(3,), pools=("size",), dropout=0.0,
+                  activation="elu", z_ratio=0.8, jk=True)
+    x = np.random.default_rng(1).integers(0, 5, size=(n, 1)).astype(np.int32)
+    cfg = TrainConfig(lr=1e-3, batch_size=4, loss="ce", use_z=True)
+    tr = Trainer(model, g, jnp.asarray(x), cfg, donate=False)
+    params, opt, plat = tr.init(0, jnp.asarray(pos[:4]))
+    key = jax.random.PRNGKey(1)
+
+    K = 4
+    r1 = np.random.default_rng(3)
+    bs = [make_train_batches(r1, pos, y, 4) for _ in range(K)]
+    pos_bs = jnp.asarray(np.stack([b[0] for b in bs]))
+    y_bs = jnp.asarray(np.stack([b[1] for b in bs]))
+    _, _, plat_c, _, losses_c = tr.train_epochs(params, opt, plat, key, pos_bs, y_bs)
+
+    r2 = np.random.default_rng(3)
+    p2, o2, plat_s, k2 = params, opt, plat, key
+    losses_s = []
+    for _ in range(K):
+        pb, yb = make_train_batches(r2, pos, y, 4)
+        p2, o2, plat_s, k2, l = tr.train_epoch(p2, o2, plat_s, k2,
+                                               jnp.asarray(pb), jnp.asarray(yb))
+        losses_s.append(l)
+    np.testing.assert_allclose(np.asarray(losses_c), np.asarray(losses_s),
+                               rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(float(plat_c.lr), float(plat_s.lr), rtol=1e-6)
+
+
 def test_density_short_run_reaches_signal():
     cfg = ExperimentConfig(
         dataset="density", pool="size", aggr="sum", hidden_dim=8,
