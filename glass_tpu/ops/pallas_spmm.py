@@ -183,32 +183,138 @@ def _bcsr_kernel(
     out_ref[...] = acc[...]
 
 
+def _bcsr_kernel_large(
+    # scalar prefetch
+    ptr_ref,
+    bcol_ref,
+    # inputs
+    x_hbm,  # (n_cb*BLOCK, H) HBM — too big for VMEM
+    blocks_hbm,  # (nnz_b, BLOCK, BLOCK) HBM
+    # output
+    out_ref,  # (BLOCK, H) VMEM block for this row-block
+    # scratch
+    ablk,  # (2, BLOCK, BLOCK) VMEM double buffer (adjacency)
+    xblk,  # (2, BLOCK, H) VMEM double buffer (features)
+    acc,  # (BLOCK, H) f32 accumulator
+    asems,
+    xsems,
+    *,
+    block_dtype,
+):
+    """Large-graph variant: node features stay in HBM and each adjacency
+    block's matching x row-block is DMA'd alongside it (both double-buffered).
+    Traffic = nnz_blocks * (A block + x block) — the win over dense/gather
+    requires block sparsity (locality-reordered graphs)."""
+    rb = pl.program_id(0)
+    lo = ptr_ref[rb]
+    hi = ptr_ref[rb + 1]
+    n = hi - lo
+
+    acc[...] = jnp.zeros_like(acc)
+
+    def adma(slot, k):
+        return pltpu.make_async_copy(
+            blocks_hbm.at[lo + k], ablk.at[slot], asems.at[slot]
+        )
+
+    def xdma(slot, k):
+        cb = bcol_ref[lo + k]
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(cb * BLOCK, BLOCK), :], xblk.at[slot], xsems.at[slot]
+        )
+
+    @pl.when(n > 0)
+    def _():
+        adma(0, 0).start()
+        xdma(0, 0).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, 2)
+            nxt = jax.lax.rem(k + 1, 2)
+
+            @pl.when(k + 1 < n)
+            def _():
+                adma(nxt, k + 1).start()
+                xdma(nxt, k + 1).start()
+
+            adma(slot, k).wait()
+            xdma(slot, k).wait()
+            precision = (
+                jax.lax.Precision.HIGHEST
+                if block_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
+            acc[...] += jnp.dot(
+                ablk[slot],
+                xblk[slot].astype(block_dtype),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0, unroll=False)
+
+    out_ref[...] = acc[...]
+
+
+# keep whole-x-in-VMEM only while it leaves room for the block buffers
+# (v5e VMEM ~16 MiB/core)
+_X_VMEM_LIMIT_BYTES = 8 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """out = A @ x with A in BCSR form. x: (n_node, H) f32; returns same."""
+    """out = A @ x with A in BCSR form. x: (n_node, H) f32; returns same.
+
+    Small graphs keep x whole in VMEM; larger graphs stream x row-blocks from
+    HBM alongside the adjacency blocks (both double-buffered)."""
     h = x.shape[1]
     n_pad = bcsr.n_cb * BLOCK
     x_pad = jnp.zeros((n_pad, h), dtype=x.dtype).at[: x.shape[0]].set(x)
     block_dtype = bcsr.blocks.dtype
+    large = n_pad * h * x.dtype.itemsize > _X_VMEM_LIMIT_BYTES
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(bcsr.n_rb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x (whole)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # blocks stay in HBM
-        ],
-        out_specs=pl.BlockSpec(
-            (BLOCK, h), lambda rb, *_: (rb, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, BLOCK, BLOCK), block_dtype),
-            pltpu.VMEM((BLOCK, h), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+    if not large:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bcsr.n_rb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # x (whole)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # blocks stay in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (BLOCK, h), lambda rb, *_: (rb, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, BLOCK, BLOCK), block_dtype),
+                pltpu.VMEM((BLOCK, h), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = functools.partial(_bcsr_kernel, block_dtype=block_dtype)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bcsr.n_rb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+                pl.BlockSpec(memory_space=pltpu.ANY),  # blocks stay in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (BLOCK, h), lambda rb, *_: (rb, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, BLOCK, BLOCK), block_dtype),
+                pltpu.VMEM((2, BLOCK, h), x.dtype),
+                pltpu.VMEM((BLOCK, h), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = functools.partial(_bcsr_kernel_large, block_dtype=block_dtype)
+
     out = pl.pallas_call(
-        functools.partial(_bcsr_kernel, block_dtype=block_dtype),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((bcsr.n_rb * BLOCK, h), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -60,6 +60,25 @@ def test_bcsr_empty_row_block(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_bcsr_large_variant_matches(rng, monkeypatch):
+    """The x-streaming (large-graph) kernel variant computes the same result
+    as the in-VMEM variant (forced via a tiny VMEM threshold)."""
+    import glass_tpu.ops.pallas_spmm as ps
+
+    ei = rand_graph(rng, 300, 1200)
+    g = build_graph(ei, None, 300, "gcn", materialize_dense=True)
+    x = jnp.asarray(rng.normal(size=(300, 64)).astype(np.float32))
+    ref = np.asarray(spmm(g, x, "dense"))
+    bcsr = build_bcsr(np.asarray(g.row), np.asarray(g.col), np.asarray(g.weight), 300)
+    monkeypatch.setattr(ps, "_X_VMEM_LIMIT_BYTES", 1)  # force large path
+    ps.bcsr_spmm.clear_cache()  # earlier tests traced the small path for these shapes
+    try:
+        out = np.asarray(ps.bcsr_spmm(bcsr, x, interpret=True))
+    finally:
+        ps.bcsr_spmm.clear_cache()  # don't leak large-path traces to other tests
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_spmm_pallas_gradient(rng):
     """Training through the pallas path must differentiate (custom VJP:
     A^T @ g): gradient matches the dense path's."""
