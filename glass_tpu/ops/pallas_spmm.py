@@ -268,11 +268,14 @@ def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
 
     Small graphs keep x whole in VMEM; larger graphs stream x row-blocks from
     HBM alongside the adjacency blocks (both double-buffered)."""
-    h = x.shape[1]
+    h_in = x.shape[1]
     n_pad = bcsr.n_cb * BLOCK
-    x_pad = jnp.zeros((n_pad, h), dtype=x.dtype).at[: x.shape[0]].set(x)
+    large = n_pad * h_in * x.dtype.itemsize > _X_VMEM_LIMIT_BYTES
+    # HBM->VMEM DMAs must be lane-tile aligned: the streaming (large) path
+    # pads the feature dim to a multiple of 128
+    h = -(-h_in // 128) * 128 if large else h_in
+    x_pad = jnp.zeros((n_pad, h), dtype=x.dtype).at[: x.shape[0], :h_in].set(x)
     block_dtype = bcsr.blocks.dtype
-    large = n_pad * h * x.dtype.itemsize > _X_VMEM_LIMIT_BYTES
 
     if not large:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -319,7 +322,7 @@ def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
         grid_spec=grid_spec,
         interpret=interpret,
     )(bcsr.block_row_ptr, bcsr.block_col, x_pad, bcsr.blocks)
-    return out[: x.shape[0]]
+    return out[: x.shape[0], :h_in]
 
 
 # --------------------------------------------------------------------------
