@@ -48,6 +48,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_epochs", type=int, default=300)
     parser.add_argument("--ckpt_dir", type=str, default=None,
                         help="save best-val params per repeat as npz checkpoints")
+    parser.add_argument("--rcm", action="store_true",
+                        help="RCM-reorder nodes (locality for --spmm pallas / partitioning)")
     parser.add_argument("--graph_shards", type=int, default=1,
                         help="node-partition the graph over this many devices")
     parser.add_argument("--data_shards", type=int, default=1,
@@ -113,6 +115,7 @@ def main(argv=None):
         node_emb=node_emb,
         data_root=args.data_root,
         ckpt_dir=args.ckpt_dir,
+        rcm=args.rcm,
         graph_shards=args.graph_shards,
         data_shards=args.data_shards,
         **params,

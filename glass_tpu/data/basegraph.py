@@ -91,6 +91,19 @@ class BaseGraphData:
         (reference: datasets.py:58-61)."""
         self.x = np.arange(self.n_node, dtype=np.int64).reshape(self.n_node, 1)
 
+    def relabel_nodes(self, perm: np.ndarray) -> None:
+        """Applies a node relabeling (perm[i] = old id at new position i) to
+        edges, subgraph node sets, and per-node features. Used with the RCM
+        ordering (native.rcm_ordering) to concentrate edges near the diagonal
+        for the block-sparse SpMM path; predictions are invariant under
+        relabeling."""
+        n = self.n_node
+        inv = np.empty(n, dtype=np.int64)
+        inv[perm] = np.arange(n)
+        self.edge_index = inv[self.edge_index]
+        self.pos = np.where(self.pos >= 0, inv[np.clip(self.pos, 0, n - 1)], -1)
+        self.x = self.x[perm]
+
     # -------------------------------------------------------------- splits
 
     def get_split(self, split: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -68,6 +68,10 @@ class ExperimentConfig:
     # (requires graph_shards * data_shards devices); 1 = single-device
     graph_shards: int = 1
     data_shards: int = 1
+    # reverse Cuthill-McKee node reordering before building the graph:
+    # concentrates edges near the diagonal (block-sparse/partition locality);
+    # predictions are invariant under the relabeling
+    rcm: bool = False
     node_emb: Optional[np.ndarray] = None  # pretrained (N, hidden) table
     data_root: Optional[str] = None
 
@@ -106,6 +110,10 @@ def _run_one(
     rng = np.random.default_rng(seed)
     base = load_dataset(cfg.dataset, rng, cfg.data_root)
     apply_feature(base, cfg.feature)
+    if cfg.rcm:
+        from glass_tpu.native import rcm_ordering
+
+        base.relabel_nodes(rcm_ordering(base.edge_index, base.n_node))
 
     binary = base.binary
     out_ch = base.output_channels

@@ -9,6 +9,39 @@ import pytest
 from glass_tpu.train.protocol import ExperimentConfig, run_experiment
 
 
+def test_rcm_relabeling_preserves_scores():
+    """RCM reordering permutes node ids only; the learning problem is
+    identical, so a short run reaches comparable accuracy (exact equality is
+    not expected — init/dropout streams act on relabeled nodes)."""
+    base_kwargs = dict(
+        dataset="density", pool="size", aggr="sum", hidden_dim=8,
+        conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=2,
+        resi=0.9, feature="one", use_maxzeroone=True, repeat=1,
+        max_epochs=22, spmm_mode="segment",
+    )
+    _, plain, _ = run_experiment(ExperimentConfig(**base_kwargs), log=lambda *_: None)
+    _, rcm, _ = run_experiment(ExperimentConfig(rcm=True, **base_kwargs),
+                               log=lambda *_: None)
+    assert abs(plain - rcm) < 0.2, (plain, rcm)
+    assert rcm > 0.6
+
+
+def test_relabel_nodes_roundtrip(rng):
+    from glass_tpu.data.loaders import load_dataset
+
+    base = load_dataset("density", np.random.default_rng(0))
+    base.set_degree_feature()
+    deg_before = {int(n): int(base.x[n, 0]) for n in base.pos[0][base.pos[0] >= 0]}
+    edges_before = base.edge_index.shape[1]
+    perm = np.random.default_rng(1).permutation(base.n_node)
+    base.relabel_nodes(perm)
+    assert base.edge_index.shape[1] == edges_before
+    # features moved with their nodes: the relabeled first subgraph's nodes
+    # carry the same degree multiset
+    deg_after = sorted(int(base.x[n, 0]) for n in base.pos[0][base.pos[0] >= 0])
+    assert deg_after == sorted(deg_before.values())
+
+
 def test_repeats_deterministic_with_trainer_cache():
     """The cross-repeat graph/trainer cache must not change results:
     two identical 2-repeat runs produce identical per-repeat scores."""
