@@ -9,6 +9,10 @@ Differences from the reference, by design:
 - ``--device`` selects the JAX platform ("tpu" default when available, "cpu"
   with -1) instead of a CUDA index.
 - ``--spmm`` picks the SpMM execution strategy (auto/dense/segment/pallas).
+- ``--use_seed`` is accepted for command-line compatibility but is a no-op:
+  the protocol is *always* deterministically seeded per repeat with the
+  reference's seed schedule (seed = (1 << repeat) - 1, GLASSTest.py:205), so
+  there is no unseeded mode to opt out of.
 """
 
 from __future__ import annotations
@@ -34,7 +38,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--repeat", type=int, default=1)
     parser.add_argument("--device", type=int, default=0,
                         help="-1 forces the CPU backend; otherwise default platform")
-    parser.add_argument("--use_seed", action="store_true")
+    parser.add_argument("--use_seed", action="store_true",
+                        help="no-op (runs are always seeded; see module docstring)")
     parser.add_argument("--spmm", type=str, default=None,
                         choices=["dense", "segment", "pallas"],
                         help="SpMM strategy override (default: auto)")

@@ -283,7 +283,7 @@ def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
             grid=(bcsr.n_rb,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # x (whole)
-                pl.BlockSpec(memory_space=pltpu.ANY),  # blocks stay in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # blocks stay in HBM
             ],
             out_specs=pl.BlockSpec(
                 (BLOCK, h), lambda rb, *_: (rb, 0), memory_space=pltpu.VMEM
@@ -300,8 +300,8 @@ def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
             num_scalar_prefetch=2,
             grid=(bcsr.n_rb,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),  # blocks stay in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # blocks stay in HBM
             ],
             out_specs=pl.BlockSpec(
                 (BLOCK, h), lambda rb, *_: (rb, 0), memory_space=pltpu.VMEM
@@ -328,7 +328,30 @@ def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
 # --------------------------------------------------------------------------
 # Graph-level entry (ops.spmm dispatch target)
 
+# id(weight) -> (weakref_to_weight, BCSR). The weakref guards against CPython
+# reusing a dead object's id for a different graph's weight array (which would
+# silently serve a stale layout) and lets dead entries be pruned on access.
 _BCSR_HOST_CACHE: dict = {}
+
+
+def _bcsr_cache_lookup(graph: Graph) -> BCSR:
+    import weakref
+
+    key = (id(graph.weight), graph.n_node)
+    hit = _BCSR_HOST_CACHE.get(key)
+    if hit is not None and hit[0]() is graph.weight:
+        return hit[1]
+    # prune entries whose weight array has been garbage-collected
+    for k in [k for k, (ref, _) in _BCSR_HOST_CACHE.items() if ref() is None]:
+        del _BCSR_HOST_CACHE[k]
+    built = build_bcsr(
+        np.asarray(graph.row),
+        np.asarray(graph.col),
+        np.asarray(graph.weight),
+        graph.n_node,
+    )
+    _BCSR_HOST_CACHE[key] = (weakref.ref(graph.weight), built)
+    return built
 
 
 def _zero_cotangent(a):
@@ -389,16 +412,7 @@ def spmm_pallas(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
             graph.bcsr_blocks, graph.bcsr_col, graph.bcsr_ptr, graph.n_rb,
         )
     else:
-        key = (id(graph.weight), graph.n_node)
-        cached = _BCSR_HOST_CACHE.get(key)
-        if cached is None:
-            cached = build_bcsr(
-                np.asarray(graph.row),
-                np.asarray(graph.col),
-                np.asarray(graph.weight),
-                graph.n_node,
-            )
-            _BCSR_HOST_CACHE[key] = cached
+        cached = _bcsr_cache_lookup(graph)
         blocks, bcol, bptr, n_rb = (
             cached.blocks, cached.block_col, cached.block_row_ptr, cached.n_rb,
         )

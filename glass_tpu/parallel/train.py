@@ -172,13 +172,24 @@ class ShardedTrainer:
         )
         return params, self.tx.init(params), plateau_init(self.cfg.lr)
 
+    def _check_batch(self, pos):
+        d = self.mesh.shape["data"]
+        if pos.shape[0] % d != 0:
+            raise ValueError(
+                f"batch size {pos.shape[0]} does not divide the 'data' mesh "
+                f"axis ({d} shards); pick a batch_size that is a multiple of "
+                f"data_shards (shard_map would otherwise fail opaquely)"
+            )
+
     def train_step(self, params, opt_state, lr, rng, pos, y):
+        self._check_batch(pos)
         return self._train_step(
             params, opt_state, lr, rng, jnp.asarray(pos), jnp.asarray(y),
             self.x_padded, *self.gparts,
         )
 
     def eval_step(self, params, pos):
+        self._check_batch(pos)
         return self._eval_step(params, jnp.asarray(pos), self.x_padded, *self.gparts)
 
     # ------------------------------------------------- Trainer-compatible API

@@ -22,9 +22,26 @@ import numpy as np
 import jax
 
 
+def _path_key(path) -> str:
+    """Stable on-disk key for a tree path. jax.tree_util.keystr formatting is
+    not a serialization contract across JAX versions, so derive keys from the
+    path entries directly (pinning the format to this repo)."""
+    parts = []
+    for entry in path:
+        if hasattr(entry, "key"):  # DictKey
+            parts.append(str(entry.key))
+        elif hasattr(entry, "idx"):  # SequenceKey
+            parts.append(str(entry.idx))
+        elif hasattr(entry, "name"):  # GetAttrKey / FlattenedIndexKey
+            parts.append(str(entry.name))
+        else:
+            parts.append(str(entry))
+    return "/" + "/".join(parts)
+
+
 def _flatten(tree: Any):
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
-    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in leaves}
+    return {_path_key(path): np.asarray(leaf) for path, leaf in leaves}
 
 
 def save_checkpoint(path: str | Path, tree: Any) -> None:
@@ -57,9 +74,14 @@ def load_checkpoint(path: str | Path, like: Any) -> Any:
     leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(like)
     new_leaves = []
     for p, leaf in leaves_paths:
-        key = jax.tree_util.keystr(p)
+        key = _path_key(p)
         if key not in data:
-            raise KeyError(f"checkpoint missing {key}")
+            # accept checkpoints written before the stable-key format
+            legacy = jax.tree_util.keystr(p)
+            if legacy in data:
+                key = legacy
+            else:
+                raise KeyError(f"checkpoint missing {key}")
         arr = data[key]
         if arr.shape != np.shape(leaf):
             raise ValueError(f"{key}: checkpoint shape {arr.shape} != {np.shape(leaf)}")
