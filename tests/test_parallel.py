@@ -204,6 +204,108 @@ def test_auto_trainer_matches_single_device(rng):
     np.testing.assert_allclose(a_logits, r_logits, rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_epoch_matches_per_batch_steps(rng):
+    """The whole-epoch shard_map scan (one dispatch) must reproduce the
+    per-batch train_step sequence exactly — same rng threading, same plateau
+    math (VERDICT round-1 item 2 'done' criterion)."""
+    from glass_tpu.train.schedule import plateau_step
+
+    ei, n = toy(rng)
+    nb, B, L = 3, 8, 5
+    pos_b = np.stack([np.stack([rng.choice(n, size=L, replace=False)
+                                for _ in range(B)]) for _ in range(nb)])
+    y_b = rng.integers(0, 3, size=(nb, B))
+
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=2,
+                  output_channels=(3,), pools=("size",), dropout=0.0,
+                  activation="elu", z_ratio=0.8, jk=True)
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    cfg = TrainConfig(lr=1e-2, batch_size=B, loss="ce", use_z=True)
+
+    pg = partition_graph(ei, None, n, "mean", 4)
+    mesh = make_mesh(graph_shards=4, data_shards=2)
+    st = ShardedTrainer(model, pg, x, cfg, mesh)
+    params, opt_state, plateau = st.init(0, pos_b[0])
+
+    # reference: the per-batch step sequence with host-side rng threading
+    rngk = jax.random.PRNGKey(11)
+    p_ref, o_ref, r_ref = params, opt_state, rngk
+    losses = []
+    for b in range(nb):
+        r_ref, _ = jax.random.split(r_ref)
+        p_ref, o_ref, loss = st.train_step(
+            p_ref, o_ref, plateau.lr, r_ref, pos_b[b], y_b[b]
+        )
+        losses.append(float(loss))
+    ref_mean = float(np.mean(losses))
+
+    # one-dispatch epoch program
+    p_new, _, plat_new, _, loss_new = st.train_epoch(
+        params, opt_state, plateau, rngk, jnp.asarray(pos_b), jnp.asarray(y_b)
+    )
+    np.testing.assert_allclose(loss_new, ref_mean, rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_new)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4)
+    exp_plat = plateau_step(plateau, ref_mean, factor=cfg.resi, min_lr=cfg.min_lr,
+                            patience=cfg.plateau_patience,
+                            threshold=cfg.plateau_threshold)
+    np.testing.assert_allclose(float(plat_new.lr), float(exp_plat.lr))
+
+
+def test_sharded_train_epochs_matches_epoch_loop(rng):
+    """K epochs as one program == K train_epoch dispatches (plateau in-scan)."""
+    ei, n = toy(rng)
+    K, nb, B, L = 2, 2, 8, 5
+    pos_bs = np.stack([np.stack([np.stack([rng.choice(n, size=L, replace=False)
+                                           for _ in range(B)])
+                                 for _ in range(nb)]) for _ in range(K)])
+    y_bs = rng.integers(0, 3, size=(K, nb, B))
+
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=1,
+                  output_channels=(3,), pools=("mean",), dropout=0.0,
+                  activation="elu", z_ratio=0.9, jk=True)
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    cfg = TrainConfig(lr=1e-2, batch_size=B, loss="ce", use_z=True)
+
+    pg = partition_graph(ei, None, n, "sum", 4)
+    mesh = make_mesh(graph_shards=4, data_shards=2)
+    st = ShardedTrainer(model, pg, x, cfg, mesh)
+    params, opt_state, plateau = st.init(1, pos_bs[0, 0])
+    rngk = jax.random.PRNGKey(5)
+
+    p1, o1, plat1, r1 = params, opt_state, plateau, rngk
+    losses_ref = []
+    for k in range(K):
+        p1, o1, plat1, r1, loss = st.train_epoch(p1, o1, plat1, r1,
+                                                 pos_bs[k], y_bs[k])
+        losses_ref.append(loss)
+
+    p2, _, plat2, _, losses = st.train_epochs(
+        params, opt_state, plateau, rngk, pos_bs, y_bs
+    )
+    np.testing.assert_allclose(losses, losses_ref, rtol=1e-5)
+    np.testing.assert_allclose(float(plat2.lr), float(plat1.lr))
+    for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-4)
+
+
+def test_sharded_batch_divisibility_error(rng):
+    """A batch that does not divide the data axis raises a clear ValueError
+    instead of an opaque shard_map failure (ADVICE round-1)."""
+    ei, n = toy(rng)
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=1,
+                  output_channels=(3,), pools=("mean",), dropout=0.0,
+                  activation="elu", z_ratio=0.9, jk=True)
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    cfg = TrainConfig(batch_size=3, loss="ce", use_z=True)
+    pg = partition_graph(ei, None, n, "sum", 4)
+    mesh = make_mesh(graph_shards=4, data_shards=2)
+    st = ShardedTrainer(model, pg, x, cfg, mesh)
+    params, _, _ = st.init(0, np.full((4, 5), -1))
+    with pytest.raises(ValueError, match="data"):
+        st.eval_step(params, np.full((3, 5), -1))
+
+
 def test_sharded_eval_matches_single_device(rng):
     ei, n = toy(rng)
     n_sub, L = 8, 5
