@@ -88,12 +88,13 @@ class Graph:
     aggr: str = struct.field(pytree_node=False, default="sum")
     axis: Optional[str] = struct.field(pytree_node=False, default=None)
     n_node_global: int = struct.field(pytree_node=False, default=0)
-    # Optional block-sparse layout for the Pallas BCSR kernel
-    # (built host-side in build_graph; see ops/pallas_spmm.py).
-    bcsr_blocks: Optional[jnp.ndarray] = None  # (nnz_b, 128, 128)
-    bcsr_col: Optional[jnp.ndarray] = None  # (nnz_b,) int32 column-block ids
-    bcsr_ptr: Optional[jnp.ndarray] = None  # (n_rb + 1,) int32
-    n_rb: int = struct.field(pytree_node=False, default=0)
+    # Optional block-sparse layouts for the Pallas BCSR kernel (built
+    # host-side in build_graph; see ops/pallas_spmm.py). ``bcsr`` is the
+    # forward A layout; ``bcsr_t`` the transposed layout for the backward
+    # pass dx = A^T @ g — the SAME array objects when A is symmetric
+    # (undirected 'sum'/'gcn'), so sharing costs no memory.
+    bcsr: Optional[object] = None  # ops.pallas_spmm.BCSR
+    bcsr_t: Optional[object] = None  # ops.pallas_spmm.BCSR
     # Optional halo-overlap split (sharded graphs): edges whose source lies in
     # this shard's own block, with *local* column ids. When present, the
     # sharded SpMM computes this part from x_local while the all-gather of
@@ -222,18 +223,17 @@ def build_graph(
         if dense_dtype == "bf16":
             dense = dense.astype(jnp.bfloat16)
 
-    bcsr_blocks = bcsr_col = bcsr_ptr = None
-    n_rb = 0
+    bcsr = bcsr_t = None
     if materialize_bcsr:
-        from glass_tpu.ops.pallas_spmm import build_bcsr_arrays
+        from glass_tpu.ops.pallas_spmm import build_bcsr, coo_is_symmetric
 
-        blocks_np, col_np, ptr_np, n_rb = build_bcsr_arrays(
-            row[:n_edge], col[:n_edge], w[:n_edge], n_node,
-            dtype=np.float32 if dense_dtype == "f32" else "bfloat16",
-        )
-        bcsr_blocks = jnp.asarray(blocks_np)
-        bcsr_col = jnp.asarray(col_np)
-        bcsr_ptr = jnp.asarray(ptr_np)
+        bdtype = "float32" if dense_dtype == "f32" else "bfloat16"
+        r_, c_, w_ = row[:n_edge], col[:n_edge], w[:n_edge]
+        bcsr = build_bcsr(r_, c_, w_, n_node, dtype=bdtype)
+        if coo_is_symmetric(np.asarray(r_), np.asarray(c_), np.asarray(w_)):
+            bcsr_t = bcsr  # A == A^T: share the device arrays
+        else:
+            bcsr_t = build_bcsr(c_, r_, w_, n_node, dtype=bdtype)
 
     return Graph(
         row=jnp.asarray(row, dtype=jnp.int32),
@@ -243,10 +243,8 @@ def build_graph(
         n_node=int(n_node),
         n_edge=int(n_edge),
         aggr=aggr,
-        bcsr_blocks=bcsr_blocks,
-        bcsr_col=bcsr_col,
-        bcsr_ptr=bcsr_ptr,
-        n_rb=n_rb,
+        bcsr=bcsr,
+        bcsr_t=bcsr_t,
     )
 
 

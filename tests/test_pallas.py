@@ -100,6 +100,64 @@ def test_spmm_pallas_gradient(rng):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), rtol=1e-3, atol=1e-4)
 
 
+def test_bcsr_transpose_layout_sharing(rng):
+    """Symmetric adjacencies (undirected 'sum'/'gcn') share one layout for
+    forward and backward; asymmetric ('mean') get a real transpose."""
+    ei = rand_graph(rng, 200, 600)
+    g_sym = build_graph(ei, None, 200, "gcn", materialize_bcsr=True,
+                        materialize_dense=False)
+    assert g_sym.bcsr_t is g_sym.bcsr
+    g_asym = build_graph(ei, None, 200, "mean", materialize_bcsr=True,
+                         materialize_dense=False)
+    assert g_asym.bcsr_t is not g_asym.bcsr
+    # the transpose really is A^T: forward over bcsr_t == dense A^T @ x
+    from glass_tpu.ops.pallas_spmm import bcsr_spmm as _spmm
+
+    x = jnp.asarray(rng.normal(size=(200, 8)).astype(np.float32))
+    d = np.zeros((200, 200), np.float32)
+    np.add.at(d, (np.asarray(g_asym.row), np.asarray(g_asym.col)),
+              np.asarray(g_asym.weight))
+    out_t = np.asarray(_spmm(g_asym.bcsr_t, x, interpret=True))
+    np.testing.assert_allclose(out_t, d.T @ np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_pallas_gradient_symmetric(rng):
+    """gcn (symmetric) gradient through the shared-layout backward."""
+    ei = rand_graph(rng, 200, 600)
+    g = build_graph(ei, None, 200, "gcn", materialize_dense=True,
+                    materialize_bcsr=True)
+    x = jnp.asarray(rng.normal(size=(200, 8)).astype(np.float32))
+    gp = jax.grad(lambda x: (spmm(g, x, "pallas") ** 2).sum())(x)
+    gd = jax.grad(lambda x: (spmm(g, x, "dense") ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), rtol=1e-3, atol=1e-4)
+
+
+def test_spmm_pallas_gradient_fallback_cache(rng):
+    """The no-prebuilt-layout path (host cache) also differentiates through
+    the transposed-kernel backward."""
+    ei = rand_graph(rng, 150, 400)
+    g = build_graph(ei, None, 150, "mean", materialize_dense=True)
+    assert g.bcsr is None
+    x = jnp.asarray(rng.normal(size=(150, 8)).astype(np.float32))
+    gp = jax.grad(lambda x: (spmm(g, x, "pallas") ** 2).sum())(x)
+    gd = jax.grad(lambda x: (spmm(g, x, "dense") ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), rtol=1e-3, atol=1e-4)
+
+
+def test_bcsr_bf16_blocks(rng):
+    """bf16 block mode: x is carried in bf16, accumulation in f32; result
+    within bf16 rounding of the f32 path."""
+    ei = rand_graph(rng, 300, 1500)
+    g = build_graph(ei, None, 300, "gcn", materialize_dense=True,
+                    materialize_bcsr=True, dense_dtype="bf16")
+    assert g.bcsr.blocks.dtype == jnp.bfloat16
+    x = jnp.asarray(rng.normal(size=(300, 32)).astype(np.float32))
+    ref = np.asarray(spmm(build_graph(ei, None, 300, "gcn",
+                                      materialize_dense=True), x, "dense"))
+    out = np.asarray(spmm(g, x, "pallas"))
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
+
+
 def test_protocol_with_pallas_spmm_trains():
     """Regression: ExperimentConfig(spmm_mode='pallas') must train end to end
     (previously crashed with NotImplementedError in pallas_call's jvp)."""
