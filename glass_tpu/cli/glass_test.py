@@ -52,7 +52,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="directory with pretrained {dataset}_{hidden}.npz tables")
     parser.add_argument("--max_epochs", type=int, default=300)
     parser.add_argument("--ckpt_dir", type=str, default=None,
-                        help="save best-val params per repeat as npz checkpoints")
+                        help="save best-val params + full run state per repeat")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume each repeat from ckpt_dir's run-state "
+                             "checkpoint (bit-exact continuation)")
     parser.add_argument("--rcm", action="store_true",
                         help="RCM-reorder nodes (locality for --spmm pallas / partitioning)")
     parser.add_argument("--graph_shards", type=int, default=1,
@@ -120,6 +123,7 @@ def main(argv=None):
         node_emb=node_emb,
         data_root=args.data_root,
         ckpt_dir=args.ckpt_dir,
+        resume=args.resume,
         rcm=args.rcm,
         graph_shards=args.graph_shards,
         data_shards=args.data_shards,

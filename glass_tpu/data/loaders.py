@@ -124,9 +124,31 @@ def _read_subgraphs_tsv(path: Path):
     return tr, va, te, multilabel
 
 
+def _real_cache_path(name: str, sub_path: Path, edge_path: Path) -> Optional[Path]:
+    """Parsed-dataset cache (npz mirror of the reference's .pt caches,
+    datasets.py:180-201). The reference always re-parses hpo_neuro — quirk
+    kept. Cache files are keyed by source mtimes so stale caches self-bust;
+    location: $GLASS_CACHE_DIR or ~/.cache/glass_tpu (dataset roots may be
+    read-only)."""
+    if name == "hpo_neuro":
+        return None
+    cdir = Path(
+        os.environ.get("GLASS_CACHE_DIR", Path.home() / ".cache" / "glass_tpu")
+    )
+    key = f"{name}_{int(sub_path.stat().st_mtime)}_{int(edge_path.stat().st_mtime)}"
+    return cdir / f"{key}.npz"
+
+
 def load_real(name: str, data_root: Optional[str] = None) -> BaseGraphData:
     sub_path = _find(f"dataset/{name}/subgraphs.pth", data_root)
     edge_path = _find(f"dataset/{name}/edge_list.txt", data_root)
+    cache = _real_cache_path(name, sub_path, edge_path)
+    if cache is not None and cache.exists():
+        d = np.load(cache)
+        return BaseGraphData(
+            x=d["x"], edge_index=d["edge_index"], edge_weight=d["edge_weight"],
+            pos=d["pos"], y=d["y"], mask=d["mask"],
+        )
     tr, va, te, multilabel = _read_subgraphs_tsv(sub_path)
 
     all_subs = tr[0] + va[0] + te[0]
@@ -153,7 +175,7 @@ def load_real(name: str, data_root: Optional[str] = None) -> BaseGraphData:
                 edges.append((int(parts[0]), int(parts[1])))
     edge_index = np.array(edges, dtype=np.int64).T
     n_node = int(max(pos.max(), edge_index.max()) + 1)
-    return BaseGraphData(
+    base = BaseGraphData(
         x=np.zeros((n_node, 1), dtype=np.int64),
         edge_index=edge_index,
         edge_weight=np.ones(edge_index.shape[1], dtype=np.float32),
@@ -161,6 +183,13 @@ def load_real(name: str, data_root: Optional[str] = None) -> BaseGraphData:
         y=y,
         mask=mask,
     )
+    if cache is not None:
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            cache, x=base.x, edge_index=base.edge_index,
+            edge_weight=base.edge_weight, pos=base.pos, y=base.y, mask=base.mask,
+        )
+    return base
 
 
 def load_dataset(

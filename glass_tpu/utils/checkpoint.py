@@ -60,6 +60,67 @@ def save_checkpoint(path: str | Path, tree: Any) -> None:
         np.savez(path.with_suffix(".npz"), **_flatten(tree))
 
 
+def save_run_state(
+    path: str | Path,
+    *,
+    params: Any,
+    opt_state: Any,
+    plateau: Any,
+    rng_key: Any,
+    np_rng: Any,
+    epoch: int,
+    val_score: float,
+    tst_best: float,
+    early_stop: int,
+) -> None:
+    """Full experiment-state checkpoint: everything needed to resume a
+    training run bit-exactly — params, optimizer state, plateau-scheduler
+    state, the jax PRNG key, the *numpy* Generator state (batch shuffles and
+    eval permutations draw from it), and the protocol counters.
+
+    The reference has no checkpointing at all (SURVEY.md §5); this is the
+    production-framework surface for kill-and-resume."""
+    import json
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tree = dict(
+        params=params,
+        opt_state=opt_state,
+        plateau=tuple(plateau),
+        rng_key=rng_key,
+    )
+    flat = _flatten(tree)
+    flat["__meta__"] = np.asarray(
+        json.dumps(
+            dict(
+                epoch=int(epoch),
+                val_score=float(val_score),
+                tst_best=float(tst_best),
+                early_stop=int(early_stop),
+                np_rng=np_rng.bit_generator.state,
+            )
+        )
+    )
+    np.savez(path, **flat)
+
+
+def load_run_state(path: str | Path, *, params, opt_state, plateau, rng_key, np_rng):
+    """Restores a run-state checkpoint into the given templates. Mutates
+    ``np_rng`` in place (bit_generator state) and returns
+    (params, opt_state, plateau, rng_key, meta_dict)."""
+    import json
+
+    like = dict(
+        params=params, opt_state=opt_state, plateau=tuple(plateau), rng_key=rng_key
+    )
+    tree = load_checkpoint(path, like)
+    meta = json.loads(str(np.load(path, allow_pickle=False)["__meta__"]))
+    np_rng.bit_generator.state = meta.pop("np_rng")
+    plateau = type(plateau)(*tree["plateau"])
+    return tree["params"], tree["opt_state"], plateau, tree["rng_key"], meta
+
+
 def load_checkpoint(path: str | Path, like: Any) -> Any:
     """Loads a checkpoint into the structure of ``like`` (shape template)."""
     path = Path(path)

@@ -104,6 +104,42 @@ def test_multi_epoch_chunk_equivalent(rng):
     np.testing.assert_allclose(float(plat_c.lr), float(plat_s.lr), rtol=1e-6)
 
 
+def test_kill_and_resume_bit_equivalence(tmp_path):
+    """A run interrupted at epoch K and resumed must match an uninterrupted
+    run bit-for-bit: full run state (params/opt/plateau/rngs/counters) is
+    checkpointed every epoch (VERDICT round-1 item 7 'done' criterion)."""
+    import dataclasses
+
+    def mkcfg(ckpt_dir, max_epochs, resume=False):
+        return ExperimentConfig(
+            dataset="density", pool="size", aggr="sum", hidden_dim=8,
+            conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=2,
+            resi=0.9, feature="one", use_maxzeroone=True, repeat=1,
+            max_epochs=max_epochs, spmm_mode="segment",
+            ckpt_dir=str(ckpt_dir), resume=resume,
+        )
+
+    # 20 epochs crosses the eval gate (~16 for density bs=2)
+    dir_a, dir_b = tmp_path / "a", tmp_path / "b"
+    _, mean_a, _ = run_experiment(mkcfg(dir_a, 20), log=lambda *_: None)
+
+    # interrupted at epoch 10, then resumed to 20
+    _, _, _ = run_experiment(mkcfg(dir_b, 10), log=lambda *_: None)
+    logs = []
+    _, mean_b, _ = run_experiment(mkcfg(dir_b, 20, resume=True), log=logs.append)
+    assert any("resumed at epoch 10" in l for l in logs), logs[:3]
+    assert mean_b == mean_a
+
+    sa = np.load(dir_a / "density_seed0_state.npz")
+    sb = np.load(dir_b / "density_seed0_state.npz")
+    assert set(sa.files) == set(sb.files)
+    for k in sa.files:
+        if k == "__meta__":
+            assert str(sa[k]) == str(sb[k])
+        else:
+            np.testing.assert_array_equal(sa[k], sb[k], err_msg=k)
+
+
 def test_density_short_run_reaches_signal():
     cfg = ExperimentConfig(
         dataset="density", pool="size", aggr="sum", hidden_dim=8,
