@@ -62,6 +62,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="node-partition the graph over this many devices")
     parser.add_argument("--data_shards", type=int, default=1,
                         help="data-parallel replicas (batch_size must divide)")
+    parser.add_argument("--sharding", type=str, default=None,
+                        choices=["auto"],
+                        help="'auto': GSPMD DP (replicated graph, annotated "
+                             "batch dim) instead of explicit shard_map")
     return parser
 
 
@@ -127,6 +131,7 @@ def main(argv=None):
         rcm=args.rcm,
         graph_shards=args.graph_shards,
         data_shards=args.data_shards,
+        sharding=args.sharding,
         **params,
     )
     _, mean, err = run_experiment(cfg)

@@ -37,6 +37,8 @@ class AutoTrainer(Trainer):
         repl = NamedSharding(mesh, P())
         batched = NamedSharding(mesh, P(None, "data"))  # (nb, B, ...) arrays
 
+        batched2 = NamedSharding(mesh, P(None, None, "data"))  # (K, nb, B, ...)
+
         self._epoch = jax.jit(
             self._epoch_impl,
             in_shardings=(repl, repl, repl, repl, batched, batched),
@@ -46,4 +48,10 @@ class AutoTrainer(Trainer):
             self._eval_impl,
             in_shardings=(repl, batched),
             out_shardings=repl,
+        )
+        # multi-epoch program (the protocol's pre-eval-gate scan)
+        self._epochs = jax.jit(
+            self._epochs_impl,
+            in_shardings=(repl, repl, repl, repl, batched2, batched2),
+            out_shardings=(repl, repl, repl, repl, repl),
         )

@@ -69,6 +69,10 @@ class ExperimentConfig:
     # (requires graph_shards * data_shards devices); 1 = single-device
     graph_shards: int = 1
     data_shards: int = 1
+    # "auto": GSPMD data parallelism (graph replicated, batch dim annotated,
+    # XLA inserts collectives) — requires graph_shards == 1. Default: the
+    # explicit shard_map path when any shard count > 1.
+    sharding: Optional[str] = None
     # reverse Cuthill-McKee node reordering before building the graph:
     # concentrates edges near the diagonal (block-sparse/partition locality);
     # predictions are invariant under the relabeling
@@ -173,7 +177,27 @@ def _run_one(
     trainer = None if cache is None else cache.get("trainer")
     if trainer is None:
         x = jnp.asarray(base.x.astype(np.int32))
-        if cfg.graph_shards > 1 or cfg.data_shards > 1:
+        if cfg.sharding == "auto":
+            if cfg.graph_shards > 1:
+                raise ValueError(
+                    "sharding='auto' is GSPMD data parallelism over a "
+                    "replicated graph; use the default explicit mode for "
+                    "graph_shards > 1"
+                )
+            from glass_tpu.parallel.auto import AutoTrainer
+            from glass_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(graph_shards=1, data_shards=cfg.data_shards)
+            graph = build_graph(
+                base.edge_index, base.edge_weight, base.n_node, cfg.aggr,
+                materialize_dense=(
+                    None if spmm_mode is None else spmm_mode == "dense"
+                ),
+                dense_dtype=cfg.dense_dtype,
+                materialize_bcsr=spmm_mode == "pallas",
+            )
+            trainer = AutoTrainer(model, graph, x, tcfg, mesh)
+        elif cfg.graph_shards > 1 or cfg.data_shards > 1:
             from glass_tpu.parallel.mesh import make_mesh
             from glass_tpu.parallel.partition import partition_graph
             from glass_tpu.parallel.train import ShardedTrainer

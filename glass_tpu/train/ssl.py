@@ -216,13 +216,36 @@ def run_hpo(
         log(f"best params {study.best_params}")
         log(f"best valf1 {study.best_value}")
     except ImportError:
+        # Seeded random search with a resumable JSON study file, mirroring the
+        # optuna sqlite load_if_exists semantics (GNNEmb.py:194-199): trial
+        # params are drawn deterministically, completed trials are restored
+        # from the study file and not re-trained.
+        import json
+        from pathlib import Path
+
+        state_path = None
+        done: list = []
+        if storage is not None:
+            state_path = Path(str(storage).replace("sqlite:///", "") + ".json")
+            if state_path.exists():
+                done = json.loads(state_path.read_text())["trials"]
+                if done:
+                    top = max(done, key=lambda t: t["score"])
+                    best.update(score=top["score"], params=top["params"])
+                log(f"resumed study: {len(done)} completed trials")
         rng = np.random.default_rng(0)
         for t in range(n_trials):
             params = search_space(
                 lambda name, choices: choices[rng.integers(len(choices))]
             )
+            if t < len(done):
+                continue  # rng drawn above keeps the trial sequence aligned
             log(f"trial {t}: {params}")
-            objective_with(params)
+            score = objective_with(params)
+            done.append({"params": params, "score": float(score)})
+            if state_path is not None:
+                state_path.parent.mkdir(parents=True, exist_ok=True)
+                state_path.write_text(json.dumps({"trials": done}))
         log(f"best params {best.get('params')}")
         log(f"best valf1 {best['score']}")
     return best

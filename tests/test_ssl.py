@@ -41,6 +41,59 @@ def test_pretrain_learns_link_prediction(rng):
     assert score > 0.75, f"LP score {score}; logs {logs[-3:]}"
 
 
+def test_hpo_random_search_resumes_from_study_file(tmp_path, monkeypatch):
+    """The no-optuna random-search fallback persists completed trials and
+    resumes without re-training them (mirrors the optuna sqlite
+    load_if_exists contract, reference GNNEmb.py:194-199)."""
+    import glass_tpu.train.ssl as ssl
+
+    calls = []
+
+    def fake_pretrain(trial_cfg, log=print):
+        calls.append(trial_cfg)
+        return 0.5 + 0.01 * len(calls), np.zeros((4, 2), np.float32)
+
+    monkeypatch.setattr(ssl, "pretrain", fake_pretrain)
+    # hide optuna if it were ever installed: force the fallback path
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_optuna(name, *a, **k):
+        if name == "optuna":
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_optuna)
+
+    cfg = ssl.SSLConfig(dataset="stub", hidden_dim=2)
+    storage = str(tmp_path / "study")
+    saved = []
+    best1 = ssl.run_hpo(cfg, 4, saved.append, log=lambda *_: None, storage=storage)
+    assert len(calls) == 4
+    assert (tmp_path / "study.json").exists()
+
+    # resume with a larger budget: the 4 completed trials are not re-run
+    logs = []
+    best2 = ssl.run_hpo(cfg, 6, saved.append, log=logs.append, storage=storage)
+    assert len(calls) == 6
+    assert any("resumed study: 4 completed trials" in l for l in logs)
+    assert best2["score"] >= best1["score"]
+
+    # deterministic param sequence: trial params in the study file match a
+    # fresh draw of the same seeded search space
+    import json
+
+    trials = json.loads((tmp_path / "study.json").read_text())["trials"]
+    assert len(trials) == 6
+    rng2 = np.random.default_rng(0)
+    for t in trials:
+        expect = ssl.search_space(
+            lambda name, choices: choices[rng2.integers(len(choices))]
+        )
+        assert t["params"] == expect
+
+
 def test_pretrained_table_feeds_glass(rng, tmp_path):
     """The saved table must load into GLASS via the nodeid path (the
     GLASSTest --use_nodeid contract)."""
