@@ -173,7 +173,10 @@ def bench_bcsr_large(hidden=64, iters=20):
         @jax.jit
         def many_grad(x0, graph=graph):
             def step(h, _):
-                g = jax.grad(lambda v: spmm(graph, v, "pallas").sum())(h)
+                # (.)**2 makes the cotangent depend on the forward output, so
+                # XLA cannot dead-code-eliminate the forward kernel — this
+                # really measures fwd + bwd
+                g = jax.grad(lambda v: (spmm(graph, v, "pallas") ** 2).sum())(h)
                 return g, None
 
             h, _ = jax.lax.scan(step, x0, None, length=iters)

@@ -51,39 +51,42 @@ from glass_tpu.ops.graph import Graph
 
 BLOCK = 128
 CHUNK = 8  # adjacency blocks per DMA (CHUNK * 64 KiB f32 / 32 KiB bf16)
-NBUF = 2  # chunk double-buffer depth
+NBUF = 4  # chunk buffer depth (outstanding DMAs)
 
 
 @struct.dataclass
 class BCSR:
     """Host-built block-sparse adjacency.
 
-    blocks[k] is the dense 128x128 content of the k-th nonzero block (padded
-    at the end with CHUNK zero blocks so chunked DMAs may overrun harmlessly);
-    block_col[k] its column-block index (0 on padding);
+    blocks[k] is the dense 128x128 content of the k-th nonzero block; each
+    row-block's run is padded to a CHUNK multiple with zero blocks (inert
+    under accumulation), so every chunk is full and lies within one row;
+    block_col[k] is the column-block index (0 on padding);
     block_row_ptr[rb]..block_row_ptr[rb+1] the k-range of row-block rb.
 
     Chunk metadata (for the streaming kernel): chunk c covers blocks
-    [chunk_start[c], chunk_start[c] + chunk_len[c]) — always within one
-    row-block (chunk_row[c]); chunk_first[c] == 1 on the first chunk of each
-    row-block (the accumulator-reset signal). Every row-block has >= 1 chunk
-    (empty row-blocks get a zero-length chunk so their output block is
-    written)."""
+    [chunk_start[c], chunk_start[c] + CHUNK) of row chunk_row[c];
+    chunk_len[c] is CHUNK, or 0 for the placeholder chunk of an empty
+    row-block (which exists so the row's output block is still written);
+    chunk_first/chunk_last flag each row's first/last chunk (accumulator
+    reset / output write)."""
 
-    blocks: jnp.ndarray  # (nnz_b + CHUNK, 128, 128)
-    block_col: jnp.ndarray  # (nnz_b + CHUNK,) int32
+    blocks: jnp.ndarray  # (nnz_b/CHUNK, 128, CHUNK*128) wide-chunk layout
+    block_col: jnp.ndarray  # (nnz_b,) int32
     block_row_ptr: jnp.ndarray  # (n_rb + 1,) int32
     chunk_start: jnp.ndarray  # (n_chunks,) int32
     chunk_len: jnp.ndarray  # (n_chunks,) int32
     chunk_row: jnp.ndarray  # (n_chunks,) int32
     chunk_first: jnp.ndarray  # (n_chunks,) int32
+    chunk_last: jnp.ndarray  # (n_chunks,) int32 (1 on each row's last chunk)
     n_rb: int = struct.field(pytree_node=False)
     n_cb: int = struct.field(pytree_node=False)
     n_node: int = struct.field(pytree_node=False)  # real node count
 
     @property
     def nnz_blocks(self) -> int:
-        return int(self.blocks.shape[0]) - CHUNK
+        """Stored block count (includes per-row CHUNK-alignment padding)."""
+        return int(self.blocks.shape[0]) * CHUNK
 
     @property
     def n_chunks(self) -> int:
@@ -92,7 +95,7 @@ class BCSR:
 
 def _build_chunks(ptr: np.ndarray, n_rb: int):
     """Splits each row-block's block range into chunks of <= CHUNK blocks."""
-    starts, lens, rows, firsts = [], [], [], []
+    starts, lens, rows, firsts, lasts = [], [], [], [], []
     for rb in range(n_rb):
         lo, hi = int(ptr[rb]), int(ptr[rb + 1])
         if hi == lo:
@@ -100,6 +103,7 @@ def _build_chunks(ptr: np.ndarray, n_rb: int):
             lens.append(0)
             rows.append(rb)
             firsts.append(1)
+            lasts.append(1)
             continue
         first = 1
         for s in range(lo, hi, CHUNK):
@@ -107,12 +111,14 @@ def _build_chunks(ptr: np.ndarray, n_rb: int):
             lens.append(min(CHUNK, hi - s))
             rows.append(rb)
             firsts.append(first)
+            lasts.append(1 if s + CHUNK >= hi else 0)
             first = 0
     return (
         np.asarray(starts, np.int32),
         np.asarray(lens, np.int32),
         np.asarray(rows, np.int32),
         np.asarray(firsts, np.int32),
+        np.asarray(lasts, np.int32),
     )
 
 
@@ -139,24 +145,44 @@ def build_bcsr_arrays(
     order = np.argsort(bid, kind="stable")
     row, col, weight, bid = row[order], col[order], weight[order], bid[order]
     uniq, start = np.unique(bid, return_index=True)
-    nnz_b = max(uniq.shape[0], 1)
-    # CHUNK zero blocks of tail padding: chunked DMAs may read past the last
-    # real block; zero content + column 0 make the overrun inert.
-    blocks = np.zeros((nnz_b + CHUNK, BLOCK, BLOCK), dtype=np.float32)
     ends = np.append(start[1:], bid.shape[0])
+
+    # Per-row CHUNK alignment: each row-block's block run is padded to a
+    # multiple of CHUNK with zero blocks (column 0), so every chunk is full
+    # and lies within one row — the kernel's inner loop needs no per-block
+    # predication (zero blocks contribute exactly 0). Storage/traffic cost
+    # <= (CHUNK-1) blocks per nonempty row.
+    counts = np.zeros(n_rb, dtype=np.int64)
+    urows = (uniq // n_cb).astype(np.int64)
+    np.add.at(counts, urows, 1)
+    padded_counts = -(-counts // CHUNK) * CHUNK  # 0 stays 0
+    # >= CHUNK so the empty-row chunks' blocks[0:CHUNK] DMA stays in bounds
+    nnz_b = max(int(padded_counts.sum()), CHUNK)
+    ptr = np.zeros(n_rb + 1, dtype=np.int32)
+    ptr[1:] = np.cumsum(padded_counts).astype(np.int32)
+    # destination slot of each real block: row's padded base + rank in row
+    rank = np.arange(uniq.shape[0]) - np.concatenate(
+        ([0], np.cumsum(counts)[:-1])
+    )[urows]
+    dst = ptr[urows] + rank
+
+    # Wide-chunk storage: chunk c is ONE (BLOCK, CHUNK*BLOCK) matrix holding
+    # its CHUNK blocks side by side, so the kernel computes a single
+    # (128, CHUNK*128) @ (CHUNK*128, H) MXU matmul per chunk — canonical
+    # matmul shape with pipelined weight loads — instead of CHUNK small dots.
+    n_store = nnz_b // CHUNK
+    blocks = np.zeros((n_store, BLOCK, CHUNK * BLOCK), dtype=np.float32)
     for k in range(uniq.shape[0]):
-        sel = slice(start[k], ends[k])
+        sel = slice(int(start[k]), int(ends[k]))
+        d = int(dst[k])
         np.add.at(
-            blocks[k],
-            (row[sel] % BLOCK, col[sel] % BLOCK),
+            blocks[d // CHUNK],
+            (row[sel] % BLOCK, (d % CHUNK) * BLOCK + col[sel] % BLOCK),
             weight[sel].astype(np.float64),
         )
-    block_col = np.zeros(nnz_b + CHUNK, dtype=np.int32)
-    block_col[: uniq.shape[0]] = (uniq % n_cb).astype(np.int32)
-    ptr = np.zeros(n_rb + 1, dtype=np.int32)
-    np.add.at(ptr, (uniq // n_cb).astype(np.int64) + 1, 1)
-    ptr = np.cumsum(ptr).astype(np.int32)
-    cstart, clen, crow, cfirst = _build_chunks(ptr, n_rb)
+    block_col = np.zeros(nnz_b, dtype=np.int32)
+    block_col[dst] = (uniq % n_cb).astype(np.int32)
+    cstart, clen, crow, cfirst, clast = _build_chunks(ptr, n_rb)
 
     blocks = blocks.astype(jnp.bfloat16 if dtype in ("bfloat16", "bf16") else np.float32)
     return dict(
@@ -167,6 +193,7 @@ def build_bcsr_arrays(
         chunk_len=clen,
         chunk_row=crow,
         chunk_first=cfirst,
+        chunk_last=clast,
         n_rb=n_rb,
     )
 
@@ -188,6 +215,7 @@ def build_bcsr(
         chunk_len=jnp.asarray(a["chunk_len"]),
         chunk_row=jnp.asarray(a["chunk_row"]),
         chunk_first=jnp.asarray(a["chunk_first"]),
+        chunk_last=jnp.asarray(a["chunk_last"]),
         n_rb=a["n_rb"],
         n_cb=a["n_rb"],
         n_node=n_node,
@@ -209,55 +237,86 @@ def _bcsr_chunk_kernel(
     cstart_ref,
     clen_ref,
     cfirst_ref,
+    clast_ref,
     crow_ref,  # consumed by the out BlockSpec index map
     bcol_ref,
     # inputs
-    x_ref,  # (n_cb*BLOCK, H) VMEM
-    blocks_hbm,  # (nnz_b + CHUNK, BLOCK, BLOCK) HBM
+    x_hbm,  # (n_cb*BLOCK, H) HBM — loaded into xfull ONCE at step 0
+    blocks_hbm,  # (nnz_b/CHUNK, BLOCK, CHUNK*BLOCK) HBM
     # output
-    out_ref,  # (BLOCK, H) f32 VMEM block, revisited across a row's chunks
+    out_ref,  # (BLOCK, H) f32 VMEM block for this chunk's row
     # scratch
-    ablk,  # (NBUF, CHUNK, BLOCK, BLOCK) VMEM chunk buffers
+    ablk,  # (NBUF, BLOCK, CHUNK*BLOCK) VMEM chunk buffers
+    xfull,  # (n_cb*BLOCK, H) VMEM — persists across all grid steps
+    acc,  # (BLOCK, H) f32 — persists across grid steps (row accumulator)
     sems,  # DMA semaphores (NBUF,)
+    xsem,
     *,
     block_dtype,
     n_chunks,
 ):
+    """x is DMA'd from HBM into the persistent ``xfull`` scratch exactly once
+    (at grid step 0): a plain whole-array VMEM operand would be re-staged by
+    the pipeline every grid step — at N x H bf16 that re-fetch, not the
+    adjacency traffic, dominated the kernel. out_ref is only written on each
+    row's LAST chunk (from the persistent ``acc``): the out index map is
+    data-dependent (scalar-prefetched chunk_row), so per-step
+    read-modify-write would round-trip the output block every step."""
     ci = pl.program_id(0)
 
-    def dma(slot, c):
+    def dma(c):
+        # chunk c's wide matrix lives at storage row cstart/CHUNK
         return pltpu.make_async_copy(
-            blocks_hbm.at[pl.ds(cstart_ref[c], CHUNK)], ablk.at[slot], sems.at[slot]
+            blocks_hbm.at[cstart_ref[c] // CHUNK],
+            ablk.at[jax.lax.rem(c, NBUF)],
+            sems.at[jax.lax.rem(c, NBUF)],
         )
+
+    xdma = pltpu.make_async_copy(x_hbm, xfull, xsem)
 
     @pl.when(ci == 0)
     def _():
-        dma(0, 0).start()
+        xdma.start()
+        for k in range(NBUF - 1):  # fill the pipeline
+            @pl.when(k < n_chunks)
+            def _(k=k):
+                dma(k).start()
+        xdma.wait()
 
-    @pl.when(ci + 1 < n_chunks)
+    @pl.when(ci + NBUF - 1 < n_chunks)
     def _():
-        dma((ci + 1) % NBUF, ci + 1).start()
+        dma(ci + NBUF - 1).start()
 
     @pl.when(cfirst_ref[ci] == 1)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        acc[...] = jnp.zeros_like(acc)
 
-    slot = ci % NBUF
-    dma(slot, ci).wait()
+    dma(ci).wait()
+    slot = jax.lax.rem(ci, NBUF)
     lo = cstart_ref[ci]
-    ln = clen_ref[ci]
     precision = _precision_for(block_dtype)
-    for j in range(CHUNK):  # static unroll over the chunk's blocks
-        @pl.when(j < ln)
-        def _(j=j):
-            cb = bcol_ref[lo + j]
-            xb = x_ref[pl.ds(cb * BLOCK, BLOCK), :]
-            out_ref[...] += jnp.dot(
-                ablk[slot, j],
-                xb.astype(block_dtype),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+
+    @pl.when(clen_ref[ci] > 0)  # chunks are full or empty (row-aligned build)
+    def _():
+        # gather the CHUNK x row-blocks, then ONE wide MXU matmul
+        xc = jnp.concatenate(
+            [
+                xfull[pl.ds(pl.multiple_of(bcol_ref[lo + j] * BLOCK, BLOCK),
+                            BLOCK), :]
+                for j in range(CHUNK)
+            ],
+            axis=0,
+        )
+        acc[...] += jnp.dot(
+            ablk[slot],
+            xc.astype(block_dtype),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    @pl.when(clast_ref[ci] == 1)
+    def _():
+        out_ref[...] = acc[...]
 
 
 def _bcsr_chunk_kernel_large(
@@ -265,6 +324,7 @@ def _bcsr_chunk_kernel_large(
     cstart_ref,
     clen_ref,
     cfirst_ref,
+    clast_ref,
     crow_ref,
     bcol_ref,
     # inputs
@@ -275,6 +335,7 @@ def _bcsr_chunk_kernel_large(
     # scratch
     ablk,  # (NBUF, CHUNK, BLOCK, BLOCK)
     xblk,  # (NBUF, CHUNK, BLOCK, H) — per-block x row-block copies
+    acc,  # (BLOCK, H) f32 row accumulator (persists across grid steps)
     asems,
     xsems,  # (NBUF, CHUNK) per-block semaphores
     *,
@@ -282,58 +343,69 @@ def _bcsr_chunk_kernel_large(
     n_chunks,
 ):
     """Streaming variant: node features stay in HBM; each adjacency chunk's
-    matching x row-blocks are DMA'd alongside it (chunk-double-buffered).
+    matching x row-blocks are DMA'd alongside it (chunk-pipelined NBUF deep).
     Traffic = nnz_blocks * (A block + x block) — the win over dense/gather
     requires block sparsity (locality-reordered graphs)."""
     ci = pl.program_id(0)
 
-    def adma(slot, c):
+    def adma(c):
+        slot = jax.lax.rem(c, NBUF)
         return pltpu.make_async_copy(
-            blocks_hbm.at[pl.ds(cstart_ref[c], CHUNK)], ablk.at[slot], asems.at[slot]
+            blocks_hbm.at[cstart_ref[c] // CHUNK], ablk.at[slot],
+            asems.at[slot],
         )
 
-    def xdma(slot, c, j):
+    def xdma(c, j):
+        slot = jax.lax.rem(c, NBUF)
         cb = bcol_ref[cstart_ref[c] + j]
+        off = pl.multiple_of(cb * BLOCK, BLOCK)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(cb * BLOCK, BLOCK), :],
-            xblk.at[slot, j],
+            x_hbm.at[pl.ds(off, BLOCK), :],
+            xblk.at[slot, pl.ds(j * BLOCK, BLOCK), :],
             xsems.at[slot, j],
         )
 
-    def start_chunk(slot, c):
-        adma(slot, c).start()
-        ln = clen_ref[c]
-        for j in range(CHUNK):
-            @pl.when(j < ln)
-            def _(j=j):
-                xdma(slot, c, j).start()
+    def start_chunk(c):
+        adma(c).start()
+
+        @pl.when(clen_ref[c] > 0)
+        def _():
+            for j in range(CHUNK):  # pad blocks fetch x block 0 (harmless)
+                xdma(c, j).start()
 
     @pl.when(ci == 0)
     def _():
-        start_chunk(0, 0)
+        for k in range(NBUF - 1):  # fill the pipeline
+            @pl.when(k < n_chunks)
+            def _(k=k):
+                start_chunk(k)
 
-    @pl.when(ci + 1 < n_chunks)
+    @pl.when(ci + NBUF - 1 < n_chunks)
     def _():
-        start_chunk((ci + 1) % NBUF, ci + 1)
+        start_chunk(ci + NBUF - 1)
 
     @pl.when(cfirst_ref[ci] == 1)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        acc[...] = jnp.zeros_like(acc)
 
-    slot = ci % NBUF
-    adma(slot, ci).wait()
-    ln = clen_ref[ci]
+    adma(ci).wait()
+    slot = jax.lax.rem(ci, NBUF)
     precision = _precision_for(block_dtype)
-    for j in range(CHUNK):
-        @pl.when(j < ln)
-        def _(j=j):
-            xdma(slot, ci, j).wait()
-            out_ref[...] += jnp.dot(
-                ablk[slot, j],
-                xblk[slot, j].astype(block_dtype),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+
+    @pl.when(clen_ref[ci] > 0)
+    def _():
+        for j in range(CHUNK):
+            xdma(ci, j).wait()
+        acc[...] += jnp.dot(
+            ablk[slot],
+            xblk[slot].astype(block_dtype),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    @pl.when(clast_ref[ci] == 1)
+    def _():
+        out_ref[...] = acc[...]
 
 
 # keep whole-x-in-VMEM only while it leaves room for the chunk buffers
@@ -362,28 +434,31 @@ def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
     n_chunks = bcsr.n_chunks
 
     scalar_args = (
-        bcsr.chunk_start, bcsr.chunk_len, bcsr.chunk_first, bcsr.chunk_row,
-        bcsr.block_col,
+        bcsr.chunk_start, bcsr.chunk_len, bcsr.chunk_first, bcsr.chunk_last,
+        bcsr.chunk_row, bcsr.block_col,
     )
-    # the out index map reads the prefetched chunk_row (arg 3)
+    # the out index map reads the prefetched chunk_row
     out_spec = pl.BlockSpec(
         (BLOCK, h),
-        lambda ci, cstart, clen, cfirst, crow, bcol: (crow[ci], 0),
+        lambda ci, cstart, clen, cfirst, clast, crow, bcol: (crow[ci], 0),
         memory_space=pltpu.VMEM,
     )
 
     if not large:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=6,
             grid=(n_chunks,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # x (whole)
+                pl.BlockSpec(memory_space=pl.ANY),  # x: DMA'd once to scratch
                 pl.BlockSpec(memory_space=pl.ANY),  # blocks stay in HBM
             ],
             out_specs=out_spec,
             scratch_shapes=[
-                pltpu.VMEM((NBUF, CHUNK, BLOCK, BLOCK), block_dtype),
+                pltpu.VMEM((NBUF, BLOCK, CHUNK * BLOCK), block_dtype),
+                pltpu.VMEM((n_pad, h), x_dtype),
+                pltpu.VMEM((BLOCK, h), jnp.float32),
                 pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA(()),
             ],
         )
         kernel = functools.partial(
@@ -391,7 +466,7 @@ def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
         )
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=6,
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
@@ -399,8 +474,9 @@ def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
             ],
             out_specs=out_spec,
             scratch_shapes=[
-                pltpu.VMEM((NBUF, CHUNK, BLOCK, BLOCK), block_dtype),
-                pltpu.VMEM((NBUF, CHUNK, BLOCK, h), x_dtype),
+                pltpu.VMEM((NBUF, BLOCK, CHUNK * BLOCK), block_dtype),
+                pltpu.VMEM((NBUF, CHUNK * BLOCK, h), x_dtype),
+                pltpu.VMEM((BLOCK, h), jnp.float32),
                 pltpu.SemaphoreType.DMA((NBUF,)),
                 pltpu.SemaphoreType.DMA((NBUF, CHUNK)),
             ],
@@ -474,13 +550,14 @@ def _zero_cotangent(a):
 
 def _bcsr_tree(b: BCSR):
     return (b.blocks, b.block_col, b.block_row_ptr, b.chunk_start,
-            b.chunk_len, b.chunk_row, b.chunk_first)
+            b.chunk_len, b.chunk_row, b.chunk_first, b.chunk_last)
 
 
 def _bcsr_untree(t, n_rb: int, n_node: int) -> BCSR:
     return BCSR(blocks=t[0], block_col=t[1], block_row_ptr=t[2],
                 chunk_start=t[3], chunk_len=t[4], chunk_row=t[5],
-                chunk_first=t[6], n_rb=n_rb, n_cb=n_rb, n_node=n_node)
+                chunk_first=t[6], chunk_last=t[7], n_rb=n_rb, n_cb=n_rb,
+                n_node=n_node)
 
 
 @functools.lru_cache(maxsize=None)

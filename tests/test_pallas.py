@@ -37,9 +37,15 @@ def test_bcsr_skips_empty_blocks(rng):
     e2 = rng.integers(half, n, size=(2, 600))
     ei = np.concatenate([e1, e2, e1[::-1], e2[::-1]], axis=1)
     g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    from glass_tpu.ops.pallas_spmm import CHUNK
+
     bcsr = build_bcsr(np.asarray(g.row), np.asarray(g.col), np.asarray(g.weight), n)
     assert bcsr.n_rb == 4
-    assert bcsr.nnz_blocks <= 8  # block-diagonal 2x2 + 2x2, no cross terms
+    # block-diagonal 2x2 + 2x2, no cross terms: <= 2 real blocks per row,
+    # each row padded to one CHUNK-aligned run
+    assert bcsr.nnz_blocks <= 4 * CHUNK
+    nz = np.count_nonzero(np.asarray(bcsr.blocks, dtype=np.float32).sum((1, 2)))
+    assert nz <= 8
     x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
     ref = np.asarray(spmm(g, x, "dense"))
     out = np.asarray(bcsr_spmm(bcsr, x, interpret=True))
