@@ -95,6 +95,11 @@ class Graph:
     # (undirected 'sum'/'gcn'), so sharing costs no memory.
     bcsr: Optional[object] = None  # ops.pallas_spmm.BCSR
     bcsr_t: Optional[object] = None  # ops.pallas_spmm.BCSR
+    # Optional banded-slab layouts (ops/pallas_band.py) — materialized instead
+    # of BCSR when the graph's diagonal band is dense enough (RCM-ordered
+    # real-world graphs); ``band_t`` is the transposed layout for backward.
+    band: Optional[object] = None  # ops.pallas_band.BandedAdj
+    band_t: Optional[object] = None  # ops.pallas_band.BandedAdj
     # Optional halo-overlap split (sharded graphs): edges whose source lies in
     # this shard's own block, with *local* column ids. When present, the
     # sharded SpMM computes this part from x_local while the all-gather of
@@ -158,6 +163,8 @@ def build_graph(
     dense_dtype: str = "f32",
     materialize_bcsr: bool = False,
     add_self_loops: bool = False,
+    sparse_layout: str = "auto",
+    band_rps: Optional[int] = None,
 ) -> Graph:
     """Builds a :class:`Graph` from a host-side COO edge list.
 
@@ -171,6 +178,14 @@ def build_graph(
       edge_bucket: pad E up to a multiple of this.
       dense_dtype: "f32" (exact, parity mode) or "bf16" (half the HBM traffic
         on the MXU SpMM; adjacency weights rounded to ~0.4% relative).
+      materialize_bcsr: build a block-sparse layout for the Pallas SpMM
+        kernels; with sparse_layout="auto" the banded-slab layout
+        (ops/pallas_band.py) is chosen when the graph's diagonal band is
+        dense enough, chunked BCSR otherwise.
+      sparse_layout: "auto" | "bcsr" | "band" — which block-sparse layout to
+        materialize (only with materialize_bcsr=True).
+      band_rps: rows-per-step for the banded layout (None = auto per the
+        VMEM/inflation gate).
     """
     edge_index = np.asarray(edge_index)
     if add_self_loops:
@@ -223,17 +238,34 @@ def build_graph(
         if dense_dtype == "bf16":
             dense = dense.astype(jnp.bfloat16)
 
-    bcsr = bcsr_t = None
+    bcsr = bcsr_t = band = band_t = None
     if materialize_bcsr:
         from glass_tpu.ops.pallas_spmm import build_bcsr, coo_is_symmetric
+        from glass_tpu.ops import pallas_band
 
         bdtype = "float32" if dense_dtype == "f32" else "bfloat16"
         r_, c_, w_ = row[:n_edge], col[:n_edge], w[:n_edge]
-        bcsr = build_bcsr(r_, c_, w_, n_node, dtype=bdtype)
-        if coo_is_symmetric(np.asarray(r_), np.asarray(c_), np.asarray(w_)):
-            bcsr_t = bcsr  # A == A^T: share the device arrays
+        symmetric = coo_is_symmetric(np.asarray(r_), np.asarray(c_), np.asarray(w_))
+        if sparse_layout == "bcsr":
+            rps = rps_t = None
         else:
-            bcsr_t = build_bcsr(c_, r_, w_, n_node, dtype=bdtype)
+            forced = band_rps if band_rps is not None else (
+                8 if sparse_layout == "band" else None
+            )
+            rps = _pick_band_rps(r_, c_, w_, n_node, dense_dtype, forced)
+            rps_t = rps if symmetric else _pick_band_rps(
+                c_, r_, w_, n_node, dense_dtype, forced
+            )
+        if rps is not None and rps_t is not None:
+            band = pallas_band.build_band(r_, c_, w_, n_node, rps, dtype=bdtype)
+            band_t = band if symmetric else pallas_band.build_band(
+                c_, r_, w_, n_node, rps_t, dtype=bdtype
+            )
+        else:
+            bcsr = build_bcsr(r_, c_, w_, n_node, dtype=bdtype)
+            bcsr_t = bcsr if symmetric else build_bcsr(
+                c_, r_, w_, n_node, dtype=bdtype
+            )
 
     return Graph(
         row=jnp.asarray(row, dtype=jnp.int32),
@@ -245,7 +277,52 @@ def build_graph(
         aggr=aggr,
         bcsr=bcsr,
         bcsr_t=bcsr_t,
+        band=band,
+        band_t=band_t,
     )
+
+
+# Band-layout gate constants (see _pick_band_rps): the banded kernel stores
+# and multiplies the zero blocks inside each group window, so it is only
+# selected when that inflation stays bounded.
+_BAND_INFLATION_LIMIT = 1.7  # slab bytes at rps vs rps=1 (grouping cost)
+_BAND_FILL_LIMIT = 4.0  # rps=1 slab bytes vs true nonzero-block bytes
+
+
+def _pick_band_rps(
+    row, col, w, n_node: int, dense_dtype: str, band_rps: Optional[int]
+):
+    """Chooses the banded layout's rows-per-step, or None to use BCSR.
+
+    Prefers the largest rps (fewest, largest grid steps) whose window
+    grouping inflates slab traffic at most _BAND_INFLATION_LIMIT over the
+    per-row-block band, provided the band itself is dense enough
+    (_BAND_FILL_LIMIT vs the true nonzero blocks) and the per-step working
+    set fits VMEM."""
+    from glass_tpu.ops import pallas_band
+
+    if band_rps is not None:
+        return int(band_rps)
+    row = np.asarray(row)
+    col = np.asarray(col)
+    keep = np.asarray(w) != 0
+    r_, c_ = row[keep], col[keep]
+    if r_.size == 0:
+        return None
+    ones = np.ones_like(r_)
+    _, _, base_bytes, _ = pallas_band.band_stats(r_, c_, ones, n_node, 1)
+    nnz_blocks = np.unique((r_ // 128) * (-(-n_node // 128)) + c_ // 128).size
+    if base_bytes > _BAND_FILL_LIMIT * nnz_blocks * 128 * 128 * 4:
+        return None  # band too sparse: chunked BCSR moves less data
+    itemsize = 2 if dense_dtype == "bf16" else 4
+    h_pad = 128  # the common GLASS hidden sizes (<=128) pad to one lane tile
+    for rps in (16, 8, 4, 2, 1):
+        wb, _, nbytes, _ = pallas_band.band_stats(r_, c_, ones, n_node, rps)
+        if nbytes > _BAND_INFLATION_LIMIT * base_bytes:
+            continue
+        if pallas_band.band_vmem_ok(rps, wb, h_pad, itemsize):
+            return rps
+    return None
 
 
 def degrees(edge_index: np.ndarray, edge_weight: Optional[np.ndarray], n_node: int) -> np.ndarray:

@@ -98,7 +98,10 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
     Args:
       graph: a :class:`Graph`.
       x: (n_node, F) node features.
-      mode: "dense" | "segment" | "pallas" | None (auto: dense if available).
+      mode: "dense" | "segment" | "pallas" | "band" | None (auto: dense if
+        available). "pallas" dispatches to whichever block-sparse layout the
+        graph materialized: banded slabs (ops/pallas_band.py) when the band
+        gate accepted the graph, chunked BCSR otherwise.
     """
     if mode is None:
         mode = "dense" if graph.dense is not None else "segment"
@@ -106,8 +109,14 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
         return spmm_dense(graph, x)
     if mode == "segment":
         return spmm_segment(graph, x)
+    if mode == "pallas" and graph.band is not None:
+        mode = "band"
     if mode == "pallas":
         from glass_tpu.ops.pallas_spmm import spmm_pallas
 
         return spmm_pallas(graph, x)
+    if mode == "band":
+        from glass_tpu.ops.pallas_band import spmm_band
+
+        return spmm_band(graph, x)
     raise ValueError(f"unknown spmm mode {mode!r}")

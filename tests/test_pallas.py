@@ -92,7 +92,7 @@ def test_spmm_pallas_gradient(rng):
 
     ei = rand_graph(rng, 200, 600)
     g = build_graph(ei, None, 200, "mean", materialize_dense=True,
-                    materialize_bcsr=True)
+                    materialize_bcsr=True, sparse_layout="bcsr")
     x = jnp.asarray(rng.normal(size=(200, 8)).astype(np.float32))
 
     def loss_pallas(x):
@@ -111,10 +111,10 @@ def test_bcsr_transpose_layout_sharing(rng):
     forward and backward; asymmetric ('mean') get a real transpose."""
     ei = rand_graph(rng, 200, 600)
     g_sym = build_graph(ei, None, 200, "gcn", materialize_bcsr=True,
-                        materialize_dense=False)
+                        materialize_dense=False, sparse_layout="bcsr")
     assert g_sym.bcsr_t is g_sym.bcsr
     g_asym = build_graph(ei, None, 200, "mean", materialize_bcsr=True,
-                         materialize_dense=False)
+                         materialize_dense=False, sparse_layout="bcsr")
     assert g_asym.bcsr_t is not g_asym.bcsr
     # the transpose really is A^T: forward over bcsr_t == dense A^T @ x
     from glass_tpu.ops.pallas_spmm import bcsr_spmm as _spmm
@@ -131,7 +131,7 @@ def test_spmm_pallas_gradient_symmetric(rng):
     """gcn (symmetric) gradient through the shared-layout backward."""
     ei = rand_graph(rng, 200, 600)
     g = build_graph(ei, None, 200, "gcn", materialize_dense=True,
-                    materialize_bcsr=True)
+                    materialize_bcsr=True, sparse_layout="bcsr")
     x = jnp.asarray(rng.normal(size=(200, 8)).astype(np.float32))
     gp = jax.grad(lambda x: (spmm(g, x, "pallas") ** 2).sum())(x)
     gd = jax.grad(lambda x: (spmm(g, x, "dense") ** 2).sum())(x)
@@ -155,7 +155,8 @@ def test_bcsr_bf16_blocks(rng):
     within bf16 rounding of the f32 path."""
     ei = rand_graph(rng, 300, 1500)
     g = build_graph(ei, None, 300, "gcn", materialize_dense=True,
-                    materialize_bcsr=True, dense_dtype="bf16")
+                    materialize_bcsr=True, dense_dtype="bf16",
+                    sparse_layout="bcsr")
     assert g.bcsr.blocks.dtype == jnp.bfloat16
     x = jnp.asarray(rng.normal(size=(300, 32)).astype(np.float32))
     ref = np.asarray(spmm(build_graph(ei, None, 300, "gcn",

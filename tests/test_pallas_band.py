@@ -1,0 +1,162 @@
+"""Banded-slab Pallas SpMM kernel tests (interpret mode on CPU; the same
+kernel compiles via Mosaic on TPU — verified in the bench drive)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from glass_tpu.ops.graph import build_graph
+from glass_tpu.ops.spmm import spmm
+from glass_tpu.ops.pallas_band import (
+    BLOCK,
+    band_spmm,
+    band_stats,
+    build_band,
+)
+
+
+def rand_graph(rng, n, e):
+    src = rng.integers(0, n, size=e)
+    dst = rng.integers(0, n, size=e)
+    return np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+
+
+def chain_graph(rng, n_comm, csz, e, intra_frac=0.9):
+    """Chain of communities (the RCM-ordered regime the kernel targets)."""
+    n = n_comm * csz
+    intra = int(intra_frac * e)
+    ci = rng.integers(0, n_comm, size=intra)
+    src_i = ci * csz + rng.integers(0, csz, size=intra)
+    dst_i = ci * csz + rng.integers(0, csz, size=intra)
+    cx = rng.integers(0, n_comm - 1, size=e - intra)
+    src_x = cx * csz + rng.integers(0, csz, size=e - intra)
+    dst_x = (cx + 1) * csz + rng.integers(0, csz, size=e - intra)
+    src = np.concatenate([src_i, src_x])
+    dst = np.concatenate([dst_i, dst_x])
+    return np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])]), n
+
+
+@pytest.mark.parametrize("rps", [1, 2, 4])
+@pytest.mark.parametrize("n,e", [(300, 1500), (130, 200)])
+def test_band_matches_dense(rng, n, e, rps):
+    ei = rand_graph(rng, n, e)
+    g = build_graph(ei, None, n, "gcn", materialize_dense=True)
+    x = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    ref = np.asarray(spmm(g, x, "dense"))
+    band = build_band(np.asarray(g.row), np.asarray(g.col),
+                      np.asarray(g.weight), n, rps=rps)
+    out = np.asarray(band_spmm(band, x, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_band_window_is_narrow_on_chain(rng):
+    """On a community chain the window must cover only adjacent communities,
+    not the whole matrix (the point of the layout)."""
+    ei, n = chain_graph(rng, n_comm=8, csz=BLOCK, e=4000)
+    g = build_graph(ei, None, n, "gcn", materialize_dense=True)
+    w, clo, _, n_g = band_stats(np.asarray(g.row), np.asarray(g.col),
+                                np.asarray(g.weight), n, rps=1)
+    assert w <= 3  # {c-1, c, c+1}
+    assert n_g == 8
+    band = build_band(np.asarray(g.row), np.asarray(g.col),
+                      np.asarray(g.weight), n, rps=2)
+    assert band.w_blocks <= 4
+    x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    ref = np.asarray(spmm(g, x, "dense"))
+    out = np.asarray(band_spmm(band, x, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_band_window_clamped_at_right_edge(rng):
+    """A window near the last column block is shifted left so the x DMA
+    stays in bounds; results must be unaffected."""
+    n = 4 * BLOCK
+    # edges concentrated in the LAST community only
+    ei = rand_graph(rng, BLOCK, 400) + 3 * BLOCK
+    g = build_graph(ei, None, n, "sum", materialize_dense=True)
+    band = build_band(np.asarray(g.row), np.asarray(g.col),
+                      np.asarray(g.weight), n, rps=1)
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    ref = np.asarray(spmm(g, x, "dense"))
+    out = np.asarray(band_spmm(band, x, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out[: 3 * BLOCK], 0.0)
+
+
+def test_band_empty_rows(rng):
+    """Row-block groups with no edges produce zero rows."""
+    n = 6 * BLOCK
+    ei = rand_graph(rng, BLOCK, 300)  # edges only in the first block
+    g = build_graph(ei, None, n, "sum", materialize_dense=True)
+    band = build_band(np.asarray(g.row), np.asarray(g.col),
+                      np.asarray(g.weight), n, rps=2)
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    out = np.asarray(band_spmm(band, x, interpret=True))
+    ref = np.asarray(spmm(g, x, "dense"))
+    np.testing.assert_allclose(out[BLOCK:], 0.0)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_band_gate_selects_band_on_chain(rng):
+    """build_graph's auto gate must pick the banded layout for a community
+    chain and keep chunked BCSR for graphs with no band structure."""
+    ei, n = chain_graph(rng, n_comm=8, csz=BLOCK, e=6000)
+    g = build_graph(ei, None, n, "gcn", materialize_dense=False,
+                    materialize_bcsr=True)
+    assert g.band is not None and g.bcsr is None
+    assert g.band_t is g.band  # gcn is symmetric: shared arrays
+    # scattered graph over many blocks with near-zero fill: bcsr stays
+    rng2 = np.random.default_rng(3)
+    n2 = 64 * BLOCK
+    ei2 = rand_graph(rng2, n2, 600)
+    g2 = build_graph(ei2, None, n2, "gcn", materialize_dense=False,
+                     materialize_bcsr=True)
+    assert g2.band is None and g2.bcsr is not None
+
+
+def test_band_gradient_matches_dense(rng):
+    """Training through the band path differentiates (custom VJP: A^T @ g),
+    for both symmetric (shared layout) and asymmetric normalizations."""
+    ei, n = chain_graph(rng, n_comm=4, csz=BLOCK, e=3000)
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    for aggr in ("gcn", "mean"):
+        g = build_graph(ei, None, n, aggr, materialize_dense=True,
+                        materialize_bcsr=True, sparse_layout="band")
+        assert g.band is not None
+        if aggr == "mean":
+            assert g.band_t is not g.band
+        gp = jax.grad(lambda x: (spmm(g, x, "pallas") ** 2).sum())(x)
+        gd = jax.grad(lambda x: (spmm(g, x, "dense") ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gd),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_band_bf16(rng):
+    """bf16 slabs: x carried in bf16, f32 accumulation; within bf16 rounding
+    of the exact dense result."""
+    ei, n = chain_graph(rng, n_comm=4, csz=BLOCK, e=3000)
+    g = build_graph(ei, None, n, "gcn", materialize_dense=True,
+                    materialize_bcsr=True, sparse_layout="band",
+                    dense_dtype="bf16")
+    assert g.band.slabs.dtype == jnp.bfloat16
+    x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    ref = np.asarray(spmm(build_graph(ei, None, n, "gcn",
+                                      materialize_dense=True), x, "dense"))
+    out = np.asarray(spmm(g, x, "pallas"))
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
+
+
+def test_band_nondivisible_rows_and_features(rng):
+    """n_node not a multiple of 128*rps and H not a multiple of 128: padding
+    rows/lanes must be inert and sliced off."""
+    n = 3 * BLOCK + 37
+    ei = rand_graph(rng, n, 2500)
+    g = build_graph(ei, None, n, "gcn", materialize_dense=True)
+    band = build_band(np.asarray(g.row), np.asarray(g.col),
+                      np.asarray(g.weight), n, rps=2)
+    x = jnp.asarray(rng.normal(size=(n, 19)).astype(np.float32))
+    out = np.asarray(band_spmm(band, x, interpret=True))
+    ref = np.asarray(spmm(g, x, "dense"))
+    assert out.shape == (n, 19)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
