@@ -147,6 +147,20 @@ def test_band_bf16(rng):
     np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
 
 
+@pytest.mark.parametrize("stripes", [2, 4])
+def test_band_striped_matches_dense(rng, stripes):
+    """The striped-DMA variant (parallel slab transfer channels) computes
+    the same result as the auto-pipelined variant."""
+    ei, n = chain_graph(rng, n_comm=6, csz=BLOCK, e=4000)
+    g = build_graph(ei, None, n, "gcn", materialize_dense=True)
+    band = build_band(np.asarray(g.row), np.asarray(g.col),
+                      np.asarray(g.weight), n, rps=2)
+    x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    ref = np.asarray(spmm(g, x, "dense"))
+    out = np.asarray(band_spmm(band, x, interpret=True, stripes=stripes))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_band_nondivisible_rows_and_features(rng):
     """n_node not a multiple of 128*rps and H not a multiple of 128: padding
     rows/lanes must be inert and sliced off."""
