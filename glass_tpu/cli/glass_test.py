@@ -62,6 +62,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="node-partition the graph over this many devices")
     parser.add_argument("--data_shards", type=int, default=1,
                         help="data-parallel replicas (batch_size must divide)")
+    parser.add_argument("--ring", action="store_true",
+                        help="ppermute-ring halo exchange instead of "
+                             "all-gather (with --graph_shards > 1)")
     parser.add_argument("--sharding", type=str, default=None,
                         choices=["auto"],
                         help="'auto': GSPMD DP (replicated graph, annotated "
@@ -131,6 +134,7 @@ def main(argv=None):
         rcm=args.rcm,
         graph_shards=args.graph_shards,
         data_shards=args.data_shards,
+        ring=args.ring,
         sharding=args.sharding,
         **params,
     )

@@ -108,6 +108,16 @@ class Graph:
     loc_row: Optional[jnp.ndarray] = None
     loc_col: Optional[jnp.ndarray] = None
     loc_weight: Optional[jnp.ndarray] = None
+    # Optional ppermute-ring halo buckets (sharded graphs): bucket s holds
+    # this shard's edges whose source lies in node block (shard + s + 1) % K,
+    # with column ids local to that source block. When present, the sharded
+    # SpMM streams remote blocks around the ring (one ppermute per step,
+    # overlapped with the previous step's segment-sum) instead of
+    # materializing the full all-gathered feature matrix — O(block) rather
+    # than O(N_global) activation memory per shard.
+    ring_row: Optional[jnp.ndarray] = None  # (K-1, E_ring)
+    ring_col: Optional[jnp.ndarray] = None  # (K-1, E_ring)
+    ring_weight: Optional[jnp.ndarray] = None  # (K-1, E_ring)
 
     @property
     def n_global(self) -> int:

@@ -67,6 +67,53 @@ def spmm_segment(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     return out if local is None else out + local
 
 
+def spmm_ring(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
+    """Sharded SpMM via a ppermute ring instead of an all-gather.
+
+    Remote node blocks stream around the ring one per step; each step's
+    ppermute (for block s+1) is issued before the segment-sum over block s,
+    so XLA overlaps the ICI transfer with compute. Peak activation memory is
+    O(block) per shard versus the all-gather's O(N_global) — the regime that
+    matters when K or N grows. Total ICI volume matches the all-gather
+    ((K-1)/K x N x H traverses each link either way).
+
+    Requires ring buckets (partition_graph(ring=True)) and the own-block
+    split; results are identical to the all-gather path up to float addition
+    order."""
+    assert graph.ring_row is not None and graph.loc_row is not None
+    k = graph.ring_row.shape[0] + 1
+    axis = graph.axis
+    # own-block contribution: no communication
+    local = jax.ops.segment_sum(
+        x[graph.loc_col] * graph.loc_weight[:, None],
+        graph.loc_row,
+        num_segments=graph.n_node,
+        indices_are_sorted=True,
+    )
+    if k == 1:
+        return local
+    perm = [(j, (j - 1) % k) for j in range(k)]
+
+    def step(buf, bucket):
+        r, c, w = bucket
+        # issue the NEXT block's transfer before computing on the current one
+        nxt = jax.lax.ppermute(buf, axis, perm)
+        contrib = jax.ops.segment_sum(
+            buf[c] * w[:, None],
+            r,
+            num_segments=graph.n_node,
+            indices_are_sorted=True,
+        )
+        return nxt, contrib
+
+    # prime: after one permute this shard holds block (shard+1) % K = bucket 0
+    buf = jax.lax.ppermute(x, axis, perm)
+    _, contribs = jax.lax.scan(
+        step, buf, (graph.ring_row, graph.ring_col, graph.ring_weight)
+    )
+    return local + contribs.sum(axis=0)
+
+
 def spmm_dense(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     """out = A @ x on the MXU using the materialized dense adjacency
     (this shard's row block when sharded).
@@ -105,10 +152,14 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
     """
     if mode is None:
         mode = "dense" if graph.dense is not None else "segment"
+    if mode == "segment" and graph.ring_row is not None:
+        mode = "ring"
     if mode == "dense":
         return spmm_dense(graph, x)
     if mode == "segment":
         return spmm_segment(graph, x)
+    if mode == "ring":
+        return spmm_ring(graph, x)
     if mode == "pallas" and graph.band is not None:
         mode = "band"
     if mode == "pallas":

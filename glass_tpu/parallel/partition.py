@@ -43,11 +43,22 @@ class PartitionedGraph:
     loc_row: Optional[np.ndarray] = None  # (K, E_loc) own-block edges
     loc_col: Optional[np.ndarray] = None  # (K, E_loc) local column ids
     loc_weight: Optional[np.ndarray] = None
+    # ppermute-ring halo buckets (see ops.graph.Graph.ring_*): bucket
+    # [k, s] = edges of shard k sourced from block (k+s+1) % K.
+    ring_row: Optional[np.ndarray] = None  # (K, K-1, E_ring)
+    ring_col: Optional[np.ndarray] = None  # (K, K-1, E_ring)
+    ring_weight: Optional[np.ndarray] = None
 
     def local_graph(self, row, col, weight, dense, axis: str,
-                    loc_row=None, loc_col=None, loc_weight=None) -> Graph:
+                    loc_row=None, loc_col=None, loc_weight=None,
+                    ring_row=None, ring_col=None, ring_weight=None) -> Graph:
         """Builds the shard-local Graph *inside* shard_map from this shard's
         slices (each arrives with a leading dim of 1)."""
+        k1 = self.n_shards - 1
+
+        def _ring(a):
+            return None if a is None else a.reshape(k1, -1)
+
         return Graph(
             row=row.reshape(-1),
             col=col.reshape(-1),
@@ -61,6 +72,9 @@ class PartitionedGraph:
             loc_row=None if loc_row is None else loc_row.reshape(-1),
             loc_col=None if loc_col is None else loc_col.reshape(-1),
             loc_weight=None if loc_weight is None else loc_weight.reshape(-1),
+            ring_row=_ring(ring_row),
+            ring_col=_ring(ring_col),
+            ring_weight=_ring(ring_weight),
         )
 
     def pad_nodes(self, x: np.ndarray) -> np.ndarray:
@@ -82,14 +96,19 @@ def partition_graph(
     materialize_dense: bool = False,
     edge_bucket: int = 256,
     overlap: bool = True,
+    ring: bool = False,
 ) -> PartitionedGraph:
     """Partitions a COO edge list into K destination-row blocks.
 
     Normalization (degree computation) happens *globally* before the split so
     each shard's weights are identical to the unsharded graph's. With
     ``overlap=True`` (default), own-block edges are split into the loc_*
-    arrays for collective/compute overlap.
+    arrays for collective/compute overlap. With ``ring=True`` (requires
+    overlap), off-block edges are additionally bucketed by source block for
+    the ppermute-ring halo exchange (ops.spmm.spmm_ring).
     """
+    if ring and not overlap:
+        raise ValueError("ring=True requires overlap=True (own-block split)")
     edge_index = np.asarray(edge_index)
     n_edge = edge_index.shape[1]
     if edge_weight is None:
@@ -129,6 +148,28 @@ def partition_graph(
         rows, cols, ws = bucketize(np.ones_like(shard_of, dtype=bool), local_cols=False)
         lrows = lcols = lws = None
 
+    ring_rows = ring_cols = ring_ws = None
+    if ring and n_shards > 1:
+        src_of = col // nb
+        counts = np.zeros((n_shards, n_shards - 1), dtype=np.int64)
+        for k in range(n_shards):
+            for s in range(1, n_shards):
+                j = (k + s) % n_shards
+                counts[k, s - 1] = int(((shard_of == k) & (src_of == j)).sum())
+        e_ring = max(edge_bucket,
+                     int(-(-max(int(counts.max()), 1) // edge_bucket) * edge_bucket))
+        ring_rows = np.full((n_shards, n_shards - 1, e_ring), nb - 1, np.int32)
+        ring_cols = np.zeros((n_shards, n_shards - 1, e_ring), np.int32)
+        ring_ws = np.zeros((n_shards, n_shards - 1, e_ring), np.float32)
+        for k in range(n_shards):
+            for s in range(1, n_shards):
+                j = (k + s) % n_shards
+                sel = (shard_of == k) & (src_of == j)
+                c = int(sel.sum())
+                ring_rows[k, s - 1, :c] = (row[sel] - k * nb).astype(np.int32)
+                ring_cols[k, s - 1, :c] = (col[sel] - j * nb).astype(np.int32)
+                ring_ws[k, s - 1, :c] = w[sel]
+
     dense = None
     if materialize_dense:
         n_pad = n_shards * nb
@@ -141,4 +182,5 @@ def partition_graph(
         row=rows, col=cols, weight=ws, dense=dense,
         n_shards=n_shards, block=nb, n_node=n_node, n_edge=n_edge, aggr=aggr,
         loc_row=lrows, loc_col=lcols, loc_weight=lws,
+        ring_row=ring_rows, ring_col=ring_cols, ring_weight=ring_ws,
     )

@@ -74,6 +74,14 @@ class ShardedTrainer:
                 jnp.asarray(pgraph.loc_weight),
             )
             gspecs.extend([P("graph", None)] * 3)
+        self.has_ring = pgraph.ring_row is not None
+        if self.has_ring:
+            self.gparts = self.gparts + (
+                jnp.asarray(pgraph.ring_row),
+                jnp.asarray(pgraph.ring_col),
+                jnp.asarray(pgraph.ring_weight),
+            )
+            gspecs.extend([P("graph", None, None)] * 3)
         gspecs = tuple(gspecs)
         xspec = P("graph", None)
 
@@ -143,7 +151,11 @@ class ShardedTrainer:
         loc = (None, None, None)
         if self.has_overlap:
             loc = gargs[i: i + 3]
-        return self.pg.local_graph(row, col, w, dense, "graph", *loc)
+            i += 3
+        ring = (None, None, None)
+        if getattr(self, "has_ring", False):
+            ring = gargs[i: i + 3]
+        return self.pg.local_graph(row, col, w, dense, "graph", *loc, *ring)
 
     def _z(self, graph, pos):
         if not self.cfg.use_z:

@@ -69,6 +69,9 @@ class ExperimentConfig:
     # (requires graph_shards * data_shards devices); 1 = single-device
     graph_shards: int = 1
     data_shards: int = 1
+    # ppermute-ring halo exchange instead of the tiled all-gather (sharded
+    # segment-path runs; O(block) activation memory per shard)
+    ring: bool = False
     # "auto": GSPMD data parallelism (graph replicated, batch dim annotated,
     # XLA inserts collectives) — requires graph_shards == 1. Default: the
     # explicit shard_map path when any shard count > 1.
@@ -206,7 +209,8 @@ def _run_one(
                              data_shards=cfg.data_shards)
             pg = partition_graph(base.edge_index, base.edge_weight, base.n_node,
                                  cfg.aggr, cfg.graph_shards,
-                                 materialize_dense=spmm_mode == "dense")
+                                 materialize_dense=spmm_mode == "dense",
+                                 ring=cfg.ring and cfg.graph_shards > 1)
             trainer = ShardedTrainer(model, pg, base.x, tcfg, mesh)
         else:
             graph = build_graph(

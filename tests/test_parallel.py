@@ -93,6 +93,80 @@ def test_sharded_spmm_matches_unsharded(rng, use_dense, overlap):
     np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=1e-4, atol=1e-5)
 
 
+def test_ring_spmm_matches_unsharded(rng):
+    """ppermute-ring halo exchange == all-gather == unsharded (the collective
+    swap changes communication structure, not results)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ei, n = toy(rng, n=70, e=300)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    g = build_graph(ei, None, n, "gcn", materialize_dense=True)
+    ref = np.asarray(spmm(g, jnp.asarray(x), "dense"))
+
+    K = 4
+    pg = partition_graph(ei, None, n, "gcn", K, ring=True)
+    assert pg.ring_row is not None and pg.ring_row.shape[:2] == (K, K - 1)
+    # ring buckets + local split together cover every edge exactly once
+    n_ring = int((pg.ring_weight != 0).sum())
+    n_loc = int((pg.loc_weight != 0).sum())
+    assert n_ring + n_loc == pg.n_edge
+    mesh = make_mesh(graph_shards=K, data_shards=2)
+    xp = pg.pad_nodes(x)
+
+    def body(x_loc, *gargs):
+        graph = pg.local_graph(gargs[0], gargs[1], gargs[2], None, "graph",
+                               *gargs[3:6], *gargs[6:9])
+        assert graph.ring_row is not None
+        return spmm(graph, x_loc, "segment")  # auto-promotes to ring
+
+    gargs = [jnp.asarray(a) for a in
+             (pg.row, pg.col, pg.weight, pg.loc_row, pg.loc_col,
+              pg.loc_weight, pg.ring_row, pg.ring_col, pg.ring_weight)]
+    gspecs = [P("graph", None)] * 6 + [P("graph", None, None)] * 3
+    out = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None),
+        check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ring_training_matches_single_device(rng):
+    """A ShardedTrainer built on ring buckets reproduces the unsharded
+    whole-epoch step."""
+    ei, n = toy(rng, n=50, e=200)
+    n_sub, L = 8, 5
+    pos = np.stack([rng.choice(n, size=L, replace=False) for _ in range(n_sub)])
+    y = rng.integers(0, 3, size=n_sub)
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=2,
+                  output_channels=(3,), pools=("size",), dropout=0.0,
+                  activation="elu", z_ratio=0.8, jk=True)
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    cfg = TrainConfig(lr=1e-2, batch_size=n_sub, loss="ce", use_z=True)
+
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, donate=False)
+    params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
+    rngk = jax.random.PRNGKey(7)
+    ref_params, _, _, ref_loss = ref_tr._epoch(
+        params, opt_state, plateau.lr, rngk,
+        jnp.asarray(pos[None]), jnp.asarray(y[None]),
+    )
+
+    pg = partition_graph(ei, None, n, "mean", 4, ring=True)
+    mesh = make_mesh(graph_shards=4, data_shards=2)
+    st = ShardedTrainer(model, pg, x, cfg, mesh)
+    assert st.has_ring
+    sh_params, sh_opt, sh_loss = st.train_step(
+        params, st.tx.init(params), plateau.lr, rngk, pos, y
+    )
+    np.testing.assert_allclose(float(sh_loss), float(ref_loss), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(sh_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-2)
+
+
 def test_max_zero_one_local_blocks():
     pos = jnp.asarray(np.array([[3, 12, -1]]))
     full = np.asarray(max_zero_one(pos, 16))
@@ -163,6 +237,21 @@ def test_sharded_protocol_end_to_end(spmm_mode):
     assert 0.0 <= mean <= 1.0
     if spmm_mode is None:
         assert any("iter" in l for l in logs), logs[-3:]
+
+
+def test_ring_protocol_end_to_end():
+    """ExperimentConfig(ring=True) trains over the ppermute-ring halo
+    exchange end to end."""
+    from glass_tpu.train.protocol import ExperimentConfig, run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="density", pool="size", aggr="sum", hidden_dim=8,
+        conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=2,
+        resi=0.9, feature="one", use_maxzeroone=True, repeat=1,
+        max_epochs=2, graph_shards=4, data_shards=2, ring=True,
+    )
+    scores, mean, err = run_experiment(cfg, log=lambda *_: None)
+    assert 0.0 <= mean <= 1.0
 
 
 def test_auto_trainer_matches_single_device(rng):

@@ -73,12 +73,16 @@ def main():
     n_dev = jax.device_count()
     shard_counts = [k for k in [1, 2, 4, 8, 16, 32] if k <= n_dev]
     results: dict = {}
-    for overlap in (True, False):
-        tag = "overlap" if overlap else "no-overlap"
+    # ring: ppermute-ring halo exchange (ops.spmm.spmm_ring) instead of the
+    # tiled all-gather — evaluated per VERDICT round-1 item 6
+    for tag, overlap, ring in (("overlap", True, False),
+                               ("no-overlap", False, False),
+                               ("ring", True, True)):
         for k in shard_counts:
             mesh = make_mesh(graph_shards=k, data_shards=1,
                              devices=jax.devices()[:k])
-            pg = partition_graph(ei, None, n, "gcn", k, overlap=overlap)
+            pg = partition_graph(ei, None, n, "gcn", k, overlap=overlap,
+                                 ring=ring)
             tr = ShardedTrainer(model, pg, x, cfg, mesh)
             params, opt_state, plateau = tr.init(0, pos_b[0])
             key = jax.random.PRNGKey(0)
