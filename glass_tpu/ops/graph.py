@@ -292,11 +292,14 @@ def build_graph(
     )
 
 
-# Band-layout gate constants (see _pick_band_rps): the banded kernel stores
-# and multiplies the zero blocks inside each group window, so it is only
-# selected when that inflation stays bounded.
-_BAND_INFLATION_LIMIT = 1.7  # slab bytes at rps vs rps=1 (grouping cost)
+# Band-layout gate constants (see _pick_band_rps). The cost model constants
+# are fitted to TPU v5e measurements of the kernel at em_user scale (9M
+# edges, windows 3-10 blocks): per-grid-step fixed cost ~1.5 us, effective
+# slab stream ~150 GB/s — they rank rps choices, absolute values need not
+# be exact.
 _BAND_FILL_LIMIT = 4.0  # rps=1 slab bytes vs true nonzero-block bytes
+_BAND_STEP_COST_S = 1.5e-6
+_BAND_STREAM_BPS = 150e9
 
 
 def _pick_band_rps(
@@ -304,11 +307,13 @@ def _pick_band_rps(
 ):
     """Chooses the banded layout's rows-per-step, or None to use BCSR.
 
-    Prefers the largest rps (fewest, largest grid steps) whose window
-    grouping inflates slab traffic at most _BAND_INFLATION_LIMIT over the
-    per-row-block band, provided the band itself is dense enough
-    (_BAND_FILL_LIMIT vs the true nonzero blocks) and the per-step working
-    set fits VMEM."""
+    The band is rejected outright when it is too sparse relative to the true
+    nonzero blocks (_BAND_FILL_LIMIT — chunked BCSR moves less data there).
+    Otherwise rps minimizes the measured kernel cost model
+    n_steps * _BAND_STEP_COST_S + slab_bytes / _BAND_STREAM_BPS
+    subject to the per-step working set fitting VMEM: small rps minimizes
+    window-grouping traffic inflation, large rps amortizes the per-step
+    cost."""
     from glass_tpu.ops import pallas_band
 
     if band_rps is not None:
@@ -326,13 +331,16 @@ def _pick_band_rps(
         return None  # band too sparse: chunked BCSR moves less data
     itemsize = 2 if dense_dtype == "bf16" else 4
     h_pad = 128  # the common GLASS hidden sizes (<=128) pad to one lane tile
-    for rps in (16, 8, 4, 2, 1):
-        wb, _, nbytes, _ = pallas_band.band_stats(r_, c_, ones, n_node, rps)
-        if nbytes > _BAND_INFLATION_LIMIT * base_bytes:
+    best = None
+    best_cost = None
+    for rps in (1, 2, 4, 8, 16):
+        wb, _, nbytes, n_g = pallas_band.band_stats(r_, c_, ones, n_node, rps)
+        if not pallas_band.band_vmem_ok(rps, wb, h_pad, itemsize):
             continue
-        if pallas_band.band_vmem_ok(rps, wb, h_pad, itemsize):
-            return rps
-    return None
+        cost = n_g * _BAND_STEP_COST_S + nbytes * (itemsize / 4) / _BAND_STREAM_BPS
+        if best_cost is None or cost < best_cost:
+            best, best_cost = rps, cost
+    return best
 
 
 def degrees(edge_index: np.ndarray, edge_weight: Optional[np.ndarray], n_node: int) -> np.ndarray:

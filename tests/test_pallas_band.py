@@ -147,17 +147,25 @@ def test_band_bf16(rng):
     np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
 
 
-@pytest.mark.parametrize("stripes", [2, 4])
-def test_band_striped_matches_dense(rng, stripes):
-    """The striped-DMA variant (parallel slab transfer channels) computes
-    the same result as the auto-pipelined variant."""
+@pytest.mark.parametrize("stripes", [1, 2, 4])
+def test_band_streamed_variants_match_dense(rng, stripes, monkeypatch):
+    """The streamed-x variants (auto-pipelined slab at stripes=1, manual
+    parallel-DMA slab otherwise) compute the same result as the
+    whole-x-in-VMEM variant (forced via a tiny VMEM budget)."""
+    import glass_tpu.ops.pallas_band as pb
+
     ei, n = chain_graph(rng, n_comm=6, csz=BLOCK, e=4000)
     g = build_graph(ei, None, n, "gcn", materialize_dense=True)
     band = build_band(np.asarray(g.row), np.asarray(g.col),
                       np.asarray(g.weight), n, rps=2)
     x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
     ref = np.asarray(spmm(g, x, "dense"))
-    out = np.asarray(band_spmm(band, x, interpret=True, stripes=stripes))
+    monkeypatch.setattr(pb, "_VMEM_BUDGET", 1)  # force the streamed paths
+    pb.band_spmm.clear_cache()
+    try:
+        out = np.asarray(band_spmm(band, x, interpret=True, stripes=stripes))
+    finally:
+        pb.band_spmm.clear_cache()  # don't leak streamed traces
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
