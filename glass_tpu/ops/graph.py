@@ -44,6 +44,10 @@ EDGE_BUCKET = 1024
 # (n^2 float32 <= ~256 MiB at 8192).
 DENSE_NODE_LIMIT = 8192
 
+# 128x128 block edge shared by the Pallas layouts
+# (== ops.pallas_band.BLOCK == ops.pallas_spmm.BLOCK).
+BCSR_BLOCK = 128
+
 
 @struct.dataclass
 class Graph:
@@ -192,8 +196,12 @@ def build_graph(
         kernels; with sparse_layout="auto" the banded-slab layout
         (ops/pallas_band.py) is chosen when the graph's diagonal band is
         dense enough, chunked BCSR otherwise.
-      sparse_layout: "auto" | "bcsr" | "band" — which block-sparse layout to
-        materialize (only with materialize_bcsr=True).
+      sparse_layout: "auto" | "bcsr" | "band" | "hybrid" — which block-sparse
+        layout to materialize (only with materialize_bcsr=True). "hybrid"
+        splits A = A_band + A_outlier: banded slabs over per-group best
+        windows plus chunked BCSR for the out-of-window residue (requires a
+        pattern-symmetric adjacency); "auto" scores all three with the
+        measured cost model.
       band_rps: rows-per-step for the banded layout (None = auto per the
         VMEM/inflation gate).
     """
@@ -255,21 +263,53 @@ def build_graph(
 
         bdtype = "float32" if dense_dtype == "f32" else "bfloat16"
         r_, c_, w_ = row[:n_edge], col[:n_edge], w[:n_edge]
-        symmetric = coo_is_symmetric(np.asarray(r_), np.asarray(c_), np.asarray(w_))
-        if sparse_layout == "bcsr":
-            rps = rps_t = None
-        else:
-            forced = band_rps if band_rps is not None else (
-                8 if sparse_layout == "band" else None
+        r_np, c_np, w_np = np.asarray(r_), np.asarray(c_), np.asarray(w_)
+        symmetric = coo_is_symmetric(r_np, c_np, w_np)
+        pat_sym = symmetric or coo_is_symmetric(
+            r_np, c_np, (w_np != 0).astype(np.float32)
+        )
+        kind, rps, wb = _plan_block_sparse(
+            r_np, c_np, w_np, n_node, dense_dtype, band_rps, sparse_layout,
+            pat_sym,
+        )
+        if kind == "band" and not symmetric:
+            # transposed band layout must be feasible too (else BCSR both ways)
+            kind_t, rps_t, _ = _plan_block_sparse(
+                c_np, r_np, w_np, n_node, dense_dtype, band_rps, "band",
+                pat_sym,
             )
-            rps = _pick_band_rps(r_, c_, w_, n_node, dense_dtype, forced)
-            rps_t = rps if symmetric else _pick_band_rps(
-                c_, r_, w_, n_node, dense_dtype, forced
-            )
-        if rps is not None and rps_t is not None:
+            if kind_t != "band":
+                kind = "bcsr"
+        if kind == "band":
             band = pallas_band.build_band(r_, c_, w_, n_node, rps, dtype=bdtype)
             band_t = band if symmetric else pallas_band.build_band(
                 c_, r_, w_, n_node, rps_t, dtype=bdtype
+            )
+        elif kind == "hybrid":
+            # split A = A_band + A_outlier; the split is symmetrized (an edge
+            # is in-band only if its mirror is too), so the same clo window
+            # table serves the transposed layouts and — when the weights are
+            # symmetric — the transposed layouts ARE the forward ones.
+            clo, in_band = pallas_band.plan_windows(
+                r_np, c_np, w_np, n_node, rps, wb
+            )
+            o1 = np.lexsort((c_np, r_np))
+            o2 = np.lexsort((r_np, c_np))
+            sym = in_band.copy()
+            sym[o1] &= in_band[o2]  # (r,c) mirrored at same rank (pat_sym)
+            out = (w_np != 0) & ~sym
+            band = pallas_band.build_band(
+                r_np[sym], c_np[sym], w_np[sym], n_node, rps, dtype=bdtype,
+                window=(wb, clo),
+            )
+            band_t = band if symmetric else pallas_band.build_band(
+                c_np[sym], r_np[sym], w_np[sym], n_node, rps, dtype=bdtype,
+                window=(wb, clo),
+            )
+            bcsr = build_bcsr(r_np[out], c_np[out], w_np[out], n_node,
+                              dtype=bdtype)
+            bcsr_t = bcsr if symmetric else build_bcsr(
+                c_np[out], r_np[out], w_np[out], n_node, dtype=bdtype
             )
         else:
             bcsr = build_bcsr(r_, c_, w_, n_node, dtype=bdtype)
@@ -292,54 +332,146 @@ def build_graph(
     )
 
 
-# Band-layout gate constants (see _pick_band_rps). The cost model constants
-# are fitted to TPU v5e measurements of the kernel at em_user scale (9M
-# edges, windows 3-10 blocks): per-grid-step fixed cost ~1.5 us, effective
-# slab stream ~150 GB/s — they rank rps choices, absolute values need not
-# be exact.
-_BAND_FILL_LIMIT = 4.0  # rps=1 slab bytes vs true nonzero-block bytes
+# Block-sparse layout planner constants (see _plan_block_sparse). The cost
+# model constants are fitted to TPU v5e measurements of the kernels at
+# em_user scale (9M edges, windows 3-10 blocks): band per-grid-step fixed
+# cost ~1.5 us, chunked-BCSR per-step ~4 us (one CHUNK of 8 blocks per
+# step), effective DMA stream ~150 GB/s — they rank layout choices;
+# absolute values need not be exact.
 _BAND_STEP_COST_S = 1.5e-6
+_BCSR_STEP_COST_S = 4.0e-6
 _BAND_STREAM_BPS = 150e9
+# A hybrid split must beat the best single layout by this factor to justify
+# running two kernels (two output buffers + an add).
+_HYBRID_MARGIN = 0.9
 
 
-def _pick_band_rps(
-    row, col, w, n_node: int, dense_dtype: str, band_rps: Optional[int]
+def _bcsr_cost_model(row, col, n_node: int, itemsize: int) -> float:
+    """Modeled chunked-BCSR kernel time for the given (nonzero) COO pattern:
+    per-chunk fixed cost + slab stream time, including per-row CHUNK padding
+    and the one placeholder chunk every empty row-block still costs."""
+    from glass_tpu.ops.pallas_spmm import BLOCK as B, CHUNK
+
+    n_rb = -(-n_node // B)
+    if row.size == 0:
+        return n_rb * _BCSR_STEP_COST_S
+    bid = (row // B) * n_rb + col // B
+    urows = np.unique(bid) // n_rb
+    cnt = np.bincount(urows.astype(np.int64), minlength=n_rb)
+    chunks = int(np.maximum(-(-cnt // CHUNK), 1).sum())
+    stored = int((-(-cnt // CHUNK) * CHUNK).sum())
+    return chunks * _BCSR_STEP_COST_S + stored * B * B * itemsize / _BAND_STREAM_BPS
+
+
+def _plan_block_sparse(
+    row,
+    col,
+    w,
+    n_node: int,
+    dense_dtype: str,
+    band_rps: Optional[int],
+    sparse_layout: str,
+    pat_sym: bool,
 ):
-    """Chooses the banded layout's rows-per-step, or None to use BCSR.
+    """Chooses the block-sparse layout for the Pallas SpMM path.
 
-    The band is rejected outright when it is too sparse relative to the true
-    nonzero blocks (_BAND_FILL_LIMIT — chunked BCSR moves less data there).
-    Otherwise rps minimizes the measured kernel cost model
-    n_steps * _BAND_STEP_COST_S + slab_bytes / _BAND_STREAM_BPS
-    subject to the per-step working set fitting VMEM: small rps minimizes
-    window-grouping traffic inflation, large rps amortizes the per-step
-    cost."""
+    Returns ``(kind, rps, w_blocks)`` with kind one of:
+      - "bcsr":   chunked BCSR (ops/pallas_spmm.py) — irregular graphs;
+      - "band":   banded slabs (ops/pallas_band.py) — the whole profile fits
+                  a uniform window;
+      - "hybrid": banded slabs over per-group best windows of width
+                  ``w_blocks`` + chunked BCSR over the out-of-window residue
+                  (graphs whose RCM profile is narrow except for a few wide
+                  rows, e.g. component).
+
+    Each candidate is scored with the measured per-kernel cost model
+    (n_steps x step_cost + streamed_bytes / stream_bps) and the cheapest
+    wins; a hybrid additionally must beat the best single layout by
+    ``_HYBRID_MARGIN`` and requires a pattern-symmetric adjacency (the
+    split is symmetrized so one window table serves A and A^T)."""
     from glass_tpu.ops import pallas_band
 
-    if band_rps is not None:
-        return int(band_rps)
+    if sparse_layout == "bcsr":
+        return "bcsr", None, None
+    if band_rps is not None and sparse_layout != "hybrid":
+        return "band", int(band_rps), None
     row = np.asarray(row)
     col = np.asarray(col)
     keep = np.asarray(w) != 0
     r_, c_ = row[keep], col[keep]
-    if r_.size == 0:
-        return None
-    ones = np.ones_like(r_)
-    _, _, base_bytes, _ = pallas_band.band_stats(r_, c_, ones, n_node, 1)
-    nnz_blocks = np.unique((r_ // 128) * (-(-n_node // 128)) + c_ // 128).size
-    if base_bytes > _BAND_FILL_LIMIT * nnz_blocks * 128 * 128 * 4:
-        return None  # band too sparse: chunked BCSR moves less data
     itemsize = 2 if dense_dtype == "bf16" else 4
     h_pad = 128  # the common GLASS hidden sizes (<=128) pad to one lane tile
-    best = None
-    best_cost = None
+    if r_.size == 0:
+        return "bcsr", None, None
+    ones = np.ones_like(r_)
+
+    bcsr_cost = _bcsr_cost_model(r_, c_, n_node, itemsize)
+    best = ("bcsr", None, None)
+    best_cost = bcsr_cost
+
+    band_candidates = []  # (cost, rps, full_w)
     for rps in (1, 2, 4, 8, 16):
         wb, _, nbytes, n_g = pallas_band.band_stats(r_, c_, ones, n_node, rps)
         if not pallas_band.band_vmem_ok(rps, wb, h_pad, itemsize):
             continue
         cost = n_g * _BAND_STEP_COST_S + nbytes * (itemsize / 4) / _BAND_STREAM_BPS
-        if best_cost is None or cost < best_cost:
-            best, best_cost = rps, cost
+        band_candidates.append((cost, rps, wb))
+        if cost < best_cost:
+            best, best_cost = ("band", rps, None), cost
+    if sparse_layout == "band":
+        if band_candidates:
+            return "band", min(band_candidates)[1], None
+        return "band", 8, None  # forced; VMEM gate bypassed at caller's risk
+
+    hybrid_best = None  # (cost, rps, w)
+    if pat_sym:
+        n_cb = -(-n_node // BCSR_BLOCK)
+        for rps in (1, 2, 4, 8):
+            n_g = -(-n_cb // rps)
+            g = (r_ // BCSR_BLOCK) // rps
+            lo = np.full(n_g, n_cb, dtype=np.int64)
+            hi = np.zeros(n_g, dtype=np.int64)
+            cb = c_ // BCSR_BLOCK
+            np.minimum.at(lo, g, cb)
+            np.maximum.at(hi, g, cb + 1)
+            widths = np.maximum(hi - lo, 1)[hi > 0]  # nonempty groups only
+            if widths.size == 0:
+                continue
+            full_w = int(widths.max())
+            cands = sorted(
+                {
+                    int(np.quantile(widths, q))
+                    for q in (0.5, 0.75, 0.9)
+                    if 1 <= int(np.quantile(widths, q)) < full_w
+                }
+            )
+            for wb in cands:
+                if not pallas_band.band_vmem_ok(rps, wb, h_pad, itemsize):
+                    continue
+                _, in_band = pallas_band.plan_windows(
+                    r_, c_, ones, n_node, rps, wb
+                )
+                out_frac = 1.0 - in_band.mean()
+                if out_frac > 0.5:
+                    continue  # band no longer carries the bulk: not a hybrid
+                cost = (
+                    n_g * _BAND_STEP_COST_S
+                    + n_g * rps * BCSR_BLOCK * wb * BCSR_BLOCK * itemsize
+                    / _BAND_STREAM_BPS
+                    + _bcsr_cost_model(r_[~in_band], c_[~in_band], n_node,
+                                       itemsize)
+                )
+                if hybrid_best is None or cost < hybrid_best[0]:
+                    hybrid_best = (cost, rps, wb)
+    if sparse_layout == "hybrid":
+        if hybrid_best is None:
+            raise ValueError(
+                "sparse_layout='hybrid' requires a pattern-symmetric "
+                "adjacency with a feasible band window"
+            )
+        return "hybrid", hybrid_best[1], hybrid_best[2]
+    if hybrid_best is not None and hybrid_best[0] < _HYBRID_MARGIN * best_cost:
+        return "hybrid", hybrid_best[1], hybrid_best[2]
     return best
 
 

@@ -99,6 +99,40 @@ def band_stats(row, col, weight, n_node: int, rps: int):
     return w, clo, slab_bytes, n_g
 
 
+def plan_windows(row, col, weight, n_node: int, rps: int, w: int):
+    """Per-group best window of FIXED width ``w`` blocks (host-side).
+
+    For each row-block group, slides a ``w``-wide window over the group's
+    column-block edge histogram and picks the start that covers the most
+    edges. Returns ``(clo, in_band)`` where ``clo`` is the (n_g,) int32
+    window-start table and ``in_band`` the boolean edge mask of edges whose
+    column block falls inside their group's window. Zero-weight padding
+    edges are always masked out.
+
+    This is the hybrid band+outlier splitter: graphs whose RCM profile is
+    narrow except for a few wide rows (e.g. the component dataset: median
+    window ~8 blocks, max ~78) keep the banded-MXU kernel for the in-band
+    mass and route the residue to the chunked BCSR kernel."""
+    row = np.asarray(row)
+    col = np.asarray(col)
+    keep = np.asarray(weight) != 0
+    n_rb = -(-n_node // BLOCK)
+    n_cb = n_rb
+    n_g = -(-n_rb // rps)
+    w = min(w, n_cb)
+    g = (row // BLOCK) // rps
+    cb = col // BLOCK
+    counts = np.zeros((n_g, n_cb + 1), dtype=np.int64)
+    np.add.at(counts, (g[keep], cb[keep] + 1), 1)
+    cs = np.cumsum(counts, axis=1)
+    # window starting at s covers column blocks [s, s+w)
+    n_start = n_cb - w + 1
+    win = cs[:, w : w + n_start] - cs[:, :n_start]
+    clo = np.argmax(win, axis=1).astype(np.int32)
+    in_band = keep & (cb >= clo[g]) & (cb < clo[g] + w)
+    return clo, in_band
+
+
 def band_vmem_ok(rps: int, w_blocks: int, h_pad: int, itemsize: int) -> bool:
     """True if the kernel's per-step working set fits the VMEM budget."""
     slab = 2 * rps * BLOCK * w_blocks * BLOCK * itemsize  # double-buffered
@@ -107,16 +141,31 @@ def band_vmem_ok(rps: int, w_blocks: int, h_pad: int, itemsize: int) -> bool:
     return slab + xwin + out <= _VMEM_BUDGET
 
 
-def build_band_arrays(row, col, weight, n_node: int, rps: int = 8, dtype="float32"):
+def build_band_arrays(row, col, weight, n_node: int, rps: int = 8, dtype="float32",
+                      window=None):
     """Host-side banded-slab construction from normalized COO (numpy only —
     device readback through a remote-TPU tunnel is pathologically slow).
-    Zero-weight padding edges are ignored."""
+    Zero-weight padding edges are ignored.
+
+    ``window``: optional (w_blocks, clo) forcing the layout's windows (the
+    hybrid split path); every edge must fall inside its group's window."""
     row = np.asarray(row)
     col = np.asarray(col)
     weight = np.asarray(weight)
     keep = weight != 0
     row, col, weight = row[keep], col[keep], weight[keep]
-    w, clo, _, n_g = band_stats(row, col, np.ones_like(row), n_node, rps)
+    if window is not None:
+        w, clo = window
+        clo = np.asarray(clo, dtype=np.int32)
+        n_g = clo.shape[0]
+        cb = col // BLOCK
+        g_chk = (row // BLOCK) // rps
+        if cb.size and not (
+            (cb >= clo[g_chk]) & (cb < clo[g_chk] + w)
+        ).all():
+            raise ValueError("edge outside its forced band window")
+    else:
+        w, clo, _, n_g = band_stats(row, col, np.ones_like(row), n_node, rps)
     n_rb = -(-n_node // BLOCK)
     slabs = np.zeros((n_g, rps * BLOCK, w * BLOCK), dtype=np.float64)
     g = (row // BLOCK) // rps
@@ -129,9 +178,10 @@ def build_band_arrays(row, col, weight, n_node: int, rps: int = 8, dtype="float3
     return dict(slabs=slabs, clo=clo, n_rb=n_rb, w_blocks=w)
 
 
-def build_band(row, col, weight, n_node: int, rps: int = 8, dtype="float32") -> BandedAdj:
+def build_band(row, col, weight, n_node: int, rps: int = 8, dtype="float32",
+               window=None) -> BandedAdj:
     """Device-placed banded adjacency (see build_band_arrays)."""
-    a = build_band_arrays(row, col, weight, n_node, rps, dtype)
+    a = build_band_arrays(row, col, weight, n_node, rps, dtype, window=window)
     return BandedAdj(
         slabs=jnp.asarray(a["slabs"]),
         clo=jnp.asarray(a["clo"]),

@@ -160,8 +160,18 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
         return spmm_segment(graph, x)
     if mode == "ring":
         return spmm_ring(graph, x)
-    if mode == "pallas" and graph.band is not None:
+    if mode == "pallas" and graph.band is not None and graph.bcsr is not None:
+        mode = "hybrid"
+    elif mode == "pallas" and graph.band is not None:
         mode = "band"
+    if mode == "hybrid":
+        # A = A_band + A_outlier (build_graph's hybrid split): two Pallas
+        # kernels summed; each part's custom VJP uses its own transposed
+        # layout, so dx = A_band^T g + A_outlier^T g = A^T g by linearity.
+        from glass_tpu.ops.pallas_band import spmm_band
+        from glass_tpu.ops.pallas_spmm import spmm_pallas
+
+        return spmm_band(graph, x) + spmm_pallas(graph, x)
     if mode == "pallas":
         from glass_tpu.ops.pallas_spmm import spmm_pallas
 

@@ -169,6 +169,71 @@ def test_band_streamed_variants_match_dense(rng, stripes, monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def outlier_chain_graph(rng, n_comm=8, csz=BLOCK, e=4000, n_far=200):
+    """Community chain plus a few far-off-band edges (the component-dataset
+    profile: narrow median window, a handful of wide rows)."""
+    ei, n = chain_graph(rng, n_comm, csz, e)
+    src = rng.integers(0, csz, size=n_far)  # first community ...
+    dst = (n_comm - 1) * csz + rng.integers(0, csz, size=n_far)  # ... to last
+    far = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    return np.concatenate([ei, far], axis=1), n
+
+
+def test_plan_windows_fixed_width(rng):
+    """plan_windows picks the densest fixed-width window per group and its
+    in_band mask covers exactly the edges inside the window."""
+    from glass_tpu.ops.pallas_band import plan_windows
+
+    ei, n = outlier_chain_graph(rng)
+    g = build_graph(ei, None, n, "gcn", materialize_dense=True)
+    r, c, w = np.asarray(g.row), np.asarray(g.col), np.asarray(g.weight)
+    clo, in_band = plan_windows(r, c, w, n, rps=1, w=3)
+    keep = w != 0
+    cb = c // BLOCK
+    grp = r // BLOCK
+    expect = keep & (cb >= clo[grp]) & (cb < clo[grp] + 3)
+    np.testing.assert_array_equal(in_band, expect)
+    assert not in_band[~keep].any()
+    # the chain mass (>= 90% of edges) stays in-band
+    assert in_band.sum() >= 0.8 * keep.sum()
+
+
+def test_hybrid_matches_dense_forward_and_grad(rng):
+    """sparse_layout='hybrid': band + outlier BCSR summed == dense, and the
+    custom VJPs compose (dx = A_band^T g + A_out^T g = A^T g)."""
+    ei, n = outlier_chain_graph(rng)
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    for aggr in ("gcn", "mean"):
+        g = build_graph(ei, None, n, aggr, materialize_dense=True,
+                        materialize_bcsr=True, sparse_layout="hybrid")
+        assert g.band is not None and g.bcsr is not None
+        if aggr == "gcn":
+            assert g.band_t is g.band and g.bcsr_t is g.bcsr
+        else:
+            assert g.band_t is not g.band
+        out = np.asarray(spmm(g, x, "pallas"))
+        ref = np.asarray(spmm(g, x, "dense"))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+        gp = jax.grad(lambda x: (spmm(g, x, "pallas") ** 2).sum())(x)
+        gd = jax.grad(lambda x: (spmm(g, x, "dense") ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gd),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_hybrid_band_carries_the_bulk(rng):
+    """The hybrid split routes the chain mass through the band and only the
+    far edges through BCSR (the point of the layout: the BCSR side stays a
+    few blocks)."""
+    ei, n = outlier_chain_graph(rng, n_comm=12, e=8000, n_far=150)
+    g = build_graph(ei, None, n, "gcn", materialize_bcsr=True,
+                    sparse_layout="hybrid")
+    n_rb = -(-n // BLOCK)
+    band_bytes = g.band.slabs.size
+    bcsr_blocks = g.bcsr.blocks.shape[0]
+    assert g.band.w_blocks < n_rb  # window did not blow up to full width
+    assert bcsr_blocks * BLOCK * BLOCK < band_bytes  # residue is the minority
+
+
 def test_band_nondivisible_rows_and_features(rng):
     """n_node not a multiple of 128*rps and H not a multiple of 128: padding
     rows/lanes must be inert and sliced off."""
