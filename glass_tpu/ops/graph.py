@@ -438,31 +438,56 @@ def _plan_block_sparse(
             if widths.size == 0:
                 continue
             full_w = int(widths.max())
+            # candidate widths: per-group span quantiles (graphs whose few
+            # wide rows stretch only their own groups) plus small fixed
+            # windows (block-structured outliers widen every group's SPAN
+            # while a narrow window still covers the banded mass)
             cands = sorted(
                 {
                     int(np.quantile(widths, q))
                     for q in (0.5, 0.75, 0.9)
-                    if 1 <= int(np.quantile(widths, q)) < full_w
                 }
+                | {2, 4, 8, 16}
             )
+            cands = [wb for wb in cands if 1 <= wb < full_w
+                     and pallas_band.band_vmem_ok(rps, wb, h_pad, itemsize)]
+            if not cands:
+                continue
+            # one O(E) histogram per rps; each width is scored from its
+            # cumsum in O(n_g * n_cb) (the exact residue's BCSR cost needs
+            # the split mask, so approximate it by scaling the whole-graph
+            # BCSR cost with the out-of-window edge fraction)
+            cs = pallas_band.window_histogram(
+                r_, c_, np.ones_like(r_, dtype=bool), n_node, rps
+            )
+            n_keep = r_.size
             for wb in cands:
-                if not pallas_band.band_vmem_ok(rps, wb, h_pad, itemsize):
-                    continue
-                _, in_band = pallas_band.plan_windows(
-                    r_, c_, ones, n_node, rps, wb
-                )
-                out_frac = 1.0 - in_band.mean()
+                _, covered = pallas_band.best_windows(cs, wb)
+                out_frac = 1.0 - covered / max(n_keep, 1)
                 if out_frac > 0.5:
                     continue  # band no longer carries the bulk: not a hybrid
                 cost = (
                     n_g * _BAND_STEP_COST_S
                     + n_g * rps * BCSR_BLOCK * wb * BCSR_BLOCK * itemsize
                     / _BAND_STREAM_BPS
-                    + _bcsr_cost_model(r_[~in_band], c_[~in_band], n_node,
-                                       itemsize)
+                    + out_frac * bcsr_cost
                 )
                 if hybrid_best is None or cost < hybrid_best[0]:
                     hybrid_best = (cost, rps, wb)
+    if hybrid_best is not None:
+        # exact rescoring of the approximate winner: the residue's true BCSR
+        # cost (scattered outliers pack fewer edges per block than the
+        # whole-graph average, so the scaled estimate above is optimistic)
+        _, rps_h, wb_h = hybrid_best
+        _, in_band = pallas_band.plan_windows(r_, c_, ones, n_node, rps_h, wb_h)
+        n_g_h = -(-(-(-n_node // BCSR_BLOCK)) // rps_h)
+        exact = (
+            n_g_h * _BAND_STEP_COST_S
+            + n_g_h * rps_h * BCSR_BLOCK * wb_h * BCSR_BLOCK * itemsize
+            / _BAND_STREAM_BPS
+            + _bcsr_cost_model(r_[~in_band], c_[~in_band], n_node, itemsize)
+        )
+        hybrid_best = (exact, rps_h, wb_h)
     if sparse_layout == "hybrid":
         if hybrid_best is None:
             raise ValueError(

@@ -116,21 +116,41 @@ def plan_windows(row, col, weight, n_node: int, rps: int, w: int):
     row = np.asarray(row)
     col = np.asarray(col)
     keep = np.asarray(weight) != 0
-    n_rb = -(-n_node // BLOCK)
-    n_cb = n_rb
-    n_g = -(-n_rb // rps)
-    w = min(w, n_cb)
+    cs = window_histogram(row, col, keep, n_node, rps)
+    clo, _ = best_windows(cs, w)
+    g = (row // BLOCK) // rps
+    cb = col // BLOCK
+    w = min(w, cs.shape[1] - 1)
+    in_band = keep & (cb >= clo[g]) & (cb < clo[g] + w)
+    return clo, in_band
+
+
+def window_histogram(row, col, keep, n_node: int, rps: int):
+    """Cumulative per-(group, column-block) edge histogram: (n_g, n_cb+1)
+    int64 with ``cs[g, b+1] - cs[g, a]`` = edges of group g in column blocks
+    [a, b]. Computed once per rps; every candidate window width is then
+    scored from it in O(n_g * n_cb) (the planner's inner loop)."""
+    n_cb = -(-n_node // BLOCK)
+    n_g = -(-n_cb // rps)
     g = (row // BLOCK) // rps
     cb = col // BLOCK
     counts = np.zeros((n_g, n_cb + 1), dtype=np.int64)
     np.add.at(counts, (g[keep], cb[keep] + 1), 1)
-    cs = np.cumsum(counts, axis=1)
+    return np.cumsum(counts, axis=1)
+
+
+def best_windows(cs, w: int):
+    """Best fixed-width-``w`` window per group from a window_histogram.
+    Returns ``(clo, covered)``: window starts (n_g,) int32 and the total
+    edge count covered across all groups."""
+    n_cb = cs.shape[1] - 1
+    w = min(w, n_cb)
     # window starting at s covers column blocks [s, s+w)
     n_start = n_cb - w + 1
     win = cs[:, w : w + n_start] - cs[:, :n_start]
     clo = np.argmax(win, axis=1).astype(np.int32)
-    in_band = keep & (cb >= clo[g]) & (cb < clo[g] + w)
-    return clo, in_band
+    covered = int(win[np.arange(cs.shape[0]), clo].sum())
+    return clo, covered
 
 
 def band_vmem_ok(rps: int, w_blocks: int, h_pad: int, itemsize: int) -> bool:
