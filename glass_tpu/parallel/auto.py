@@ -42,7 +42,7 @@ class AutoTrainer(Trainer):
         self._epoch = jax.jit(
             self._epoch_impl,
             in_shardings=(repl, repl, repl, repl, batched, batched),
-            out_shardings=(repl, repl, repl, repl),
+            out_shardings=(repl, repl, repl, repl, repl),
         )
         self._eval = jax.jit(
             self._eval_impl,

@@ -325,12 +325,13 @@ class ShardedTrainer:
             params, opt_state, plateau.lr, rng, jnp.asarray(pos_b),
             jnp.asarray(y_b), self.x_padded, *self.gparts,
         )
-        mean_loss = float(loss)
+        # loss stays a device scalar (no host sync) so epochs pipeline;
+        # plateau_step is pure jnp and dispatches asynchronously on it
         plateau = plateau_step(
-            plateau, mean_loss, factor=self.cfg.resi, min_lr=self.cfg.min_lr,
+            plateau, loss, factor=self.cfg.resi, min_lr=self.cfg.min_lr,
             patience=self.cfg.plateau_patience, threshold=self.cfg.plateau_threshold,
         )
-        return params, opt_state, plateau, rng, mean_loss
+        return params, opt_state, plateau, rng, loss
 
     def train_epochs(self, params, opt_state, plateau, rng, pos_bs, y_bs):
         """K epochs in one dispatch; pos_bs/y_bs: (K, nb, B, ...). Returns the

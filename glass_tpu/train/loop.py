@@ -123,10 +123,11 @@ class Trainer:
         )
         return self.loss_fn(logits, y)
 
-    def _epoch_impl(self, params, opt_state, lr, rng, pos_b, y_b):
-        """One optimization epoch over pre-batched (nb, B, ...) arrays."""
+    def _epoch_impl(self, params, opt_state, plateau, rng, pos_b, y_b):
+        """One optimization epoch over pre-batched (nb, B, ...) arrays, with
+        the plateau schedule advanced in-trace on the epoch's mean loss."""
         # feed the plateau-scheduled LR into the injected adam hyperparams
-        opt_state.hyperparams["learning_rate"] = lr
+        opt_state.hyperparams["learning_rate"] = plateau.lr
 
         def step(carry, batch):
             params, opt_state, rng = carry
@@ -140,14 +141,7 @@ class Trainer:
         (params, opt_state, rng), losses = jax.lax.scan(
             step, (params, opt_state, rng), (pos_b, y_b)
         )
-        return params, opt_state, rng, losses.mean()
-
-    def train_epoch(self, params, opt_state, plateau: PlateauState, rng, pos_b, y_b):
-        """Runs one epoch then advances the plateau scheduler on the epoch's
-        mean train loss (reference: GLASSTest.py:223-225)."""
-        params, opt_state, rng, loss = self._epoch(
-            params, opt_state, plateau.lr, rng, pos_b, y_b
-        )
+        loss = losses.mean()
         plateau = plateau_step(
             plateau,
             loss,
@@ -156,7 +150,18 @@ class Trainer:
             patience=self.cfg.plateau_patience,
             threshold=self.cfg.plateau_threshold,
         )
-        return params, opt_state, plateau, rng, float(loss)
+        return params, opt_state, plateau, rng, loss
+
+    def train_epoch(self, params, opt_state, plateau: PlateauState, rng, pos_b, y_b):
+        """Runs one epoch then advances the plateau scheduler on the epoch's
+        mean train loss (reference: GLASSTest.py:223-225).
+
+        One XLA dispatch; the returned loss is a *device* scalar, left
+        unmaterialized so consecutive epochs pipeline on a remote accelerator
+        (a host sync through the TPU tunnel costs ~27 ms — more than the
+        18 ms compute of a density epoch). Callers format/float() it only
+        when they actually log."""
+        return self._epoch(params, opt_state, plateau, rng, pos_b, y_b)
 
     def _epochs_impl(self, params, opt_state, plateau, rng, pos_bs, y_bs):
         """K epochs as ONE program: outer scan over epochs with the plateau

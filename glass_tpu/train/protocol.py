@@ -318,11 +318,20 @@ def _run_one(
 
     for i in range(i + 1, cfg.max_epochs):
         pos_b, y_b = make_train_batches(rng, trn_pos, trn_y, cfg.batch_size)
-        meter.start()  # time the training epoch only, not the evals
+        # train_epoch returns a lazy device loss so epochs pipeline with the
+        # eval dispatch (one host sync per epoch instead of two, ~27 ms each
+        # through the TPU tunnel). The throughput meter therefore *samples*:
+        # every 10th epoch is timed with an explicit block inside the window
+        # (honest compute timing); unmetered epochs stay fully asynchronous.
+        metered = i % 10 == 0
+        if metered:
+            meter.start()  # time the training epoch only, not the evals
         params, opt_state, plateau, rng_jax, loss_val = trainer.train_epoch(
             params, opt_state, plateau, rng_jax, jnp.asarray(pos_b), jnp.asarray(y_b)
         )
-        meter.tick(nb_per_epoch)
+        if metered:
+            jax.block_until_ready(loss_val)
+            meter.tick(nb_per_epoch)
         if i >= eval_after:
             score = val_score_fn()
             if score > val_score:

@@ -150,8 +150,8 @@ def test_ring_training_matches_single_device(rng):
     ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, donate=False)
     params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
     rngk = jax.random.PRNGKey(7)
-    ref_params, _, _, ref_loss = ref_tr._epoch(
-        params, opt_state, plateau.lr, rngk,
+    ref_params, _, _, _, ref_loss = ref_tr._epoch(
+        params, opt_state, plateau, rngk,
         jnp.asarray(pos[None]), jnp.asarray(y[None]),
     )
 
@@ -197,8 +197,8 @@ def test_sharded_training_matches_single_device(rng):
     ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, donate=False)
     params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
     rngk = jax.random.PRNGKey(7)
-    ref_params, _, _, ref_loss = ref_tr._epoch(
-        params, opt_state, plateau.lr, rngk,
+    ref_params, _, _, _, ref_loss = ref_tr._epoch(
+        params, opt_state, plateau, rngk,
         jnp.asarray(pos[None]), jnp.asarray(y[None]),
     )
 
@@ -276,12 +276,12 @@ def test_auto_trainer_matches_single_device(rng):
     key = jax.random.PRNGKey(3)
     pos_b = jnp.asarray(pos.reshape(2, 8, L))
     y_b = jnp.asarray(y.reshape(2, 8))
-    r_params, _, _, r_loss = ref._epoch(params, opt_state, plateau.lr, key, pos_b, y_b)
+    r_params, _, _, _, r_loss = ref._epoch(params, opt_state, plateau, key, pos_b, y_b)
 
     mesh = make_mesh(graph_shards=1, data_shards=8)
     auto = AutoTrainer(model, g, x, cfg, mesh)
-    a_params, _, _, a_loss = auto._epoch(
-        params, auto.tx.init(params), plateau.lr, key, pos_b, y_b
+    a_params, _, _, _, a_loss = auto._epoch(
+        params, auto.tx.init(params), plateau, key, pos_b, y_b
     )
     np.testing.assert_allclose(float(a_loss), float(r_loss), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(r_params), jax.tree.leaves(a_params)):
