@@ -46,6 +46,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dense_dtype", type=str, default="f32",
                         choices=["f32", "bf16"],
                         help="dense-adjacency dtype (bf16 = fast non-parity mode)")
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=["f32", "bf16"],
+                        help="bf16 = mixed-precision training (bf16 "
+                             "activations, f32 params/optimizer/loss)")
     parser.add_argument("--config_dir", type=str, default=None)
     parser.add_argument("--data_root", type=str, default=None)
     parser.add_argument("--emb_path", type=str, default="Emb",
@@ -127,6 +131,7 @@ def main(argv=None):
         max_epochs=args.max_epochs,
         spmm_mode=args.spmm,
         dense_dtype=args.dense_dtype,
+        compute_dtype=(None if args.compute_dtype == "f32" else args.compute_dtype),
         node_emb=node_emb,
         data_root=args.data_root,
         ckpt_dir=args.ckpt_dir,

@@ -35,15 +35,23 @@ ACTIVATIONS = {
 
 
 class TorchLinear(nn.Module):
-    """Dense layer with torch nn.Linear's init distribution (see nn.init)."""
+    """Dense layer with torch nn.Linear's init distribution (see nn.init).
+
+    ``dtype`` (e.g. "bfloat16") casts input and params to the compute dtype
+    for the matmul (params are stored f32; the MXU accumulates bf16 dots in
+    f32). None = exact f32 path."""
 
     features: int
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", torch_linear_kernel_init, (fan_in, self.features))
         bias = self.param("bias", make_torch_bias_init(fan_in), (self.features,))
+        if self.dtype is not None:
+            dt = jnp.dtype(self.dtype)
+            return x.astype(dt) @ kernel.astype(dt) + bias.astype(dt)
         return x @ kernel + bias
 
 
@@ -155,6 +163,7 @@ class GLASSConv(nn.Module):
     dropout: float = 0.2
     activation: str = "relu"
     spmm_mode: Optional[str] = None
+    dtype: Optional[str] = None  # "bfloat16" = mixed-precision activations
 
     @nn.compact
     def __call__(self, graph: Graph, x_, mask, *, training: bool = False):
@@ -162,15 +171,19 @@ class GLASSConv(nn.Module):
         zr = self.z_ratio
         # the two label-branch Linears share their input; XLA's dot-merger
         # combines them into one MXU matmul, so no manual fusion is needed
-        x1 = act(TorchLinear(self.out_channels, name="trans_1")(x_))
-        x0 = act(TorchLinear(self.out_channels, name="trans_0")(x_))
+        x1 = act(TorchLinear(self.out_channels, dtype=self.dtype, name="trans_1")(x_))
+        x0 = act(TorchLinear(self.out_channels, dtype=self.dtype, name="trans_0")(x_))
         x = jnp.where(mask, zr * x1 + (1 - zr) * x0, zr * x0 + (1 - zr) * x1)
         x = spmm(graph, x, self.spmm_mode)
+        if self.dtype is not None:
+            # SpMM kernels accumulate in f32; keep the activation stream in
+            # the compute dtype (every downstream op is HBM-bound)
+            x = x.astype(jnp.dtype(self.dtype))
         x = GraphNorm(name="gn")(x, graph)
         x = nn.Dropout(self.dropout)(x, deterministic=not training)
         x = jnp.concatenate([x, x_], axis=-1)
-        x1 = TorchLinear(self.out_channels, name="comb_1")(x)
-        x0 = TorchLinear(self.out_channels, name="comb_0")(x)
+        x1 = TorchLinear(self.out_channels, dtype=self.dtype, name="comb_1")(x)
+        x0 = TorchLinear(self.out_channels, dtype=self.dtype, name="comb_0")(x)
         return jnp.where(mask, zr * x1 + (1 - zr) * x0, zr * x0 + (1 - zr) * x1)
 
 
@@ -195,6 +208,7 @@ class EmbZGConv(nn.Module):
     jk: bool = True
     gn: bool = True
     spmm_mode: Optional[str] = None
+    dtype: Optional[str] = None  # "bfloat16" = mixed-precision activations
 
     @nn.compact
     def __call__(self, graph: Graph, x, z=None, *, training: bool = False):
@@ -214,6 +228,9 @@ class EmbZGConv(nn.Module):
             embedding_init=normal_embedding_init,
             name="input_emb",
         )(x)
+        if self.dtype is not None:
+            # cast once after the table gather; params/optimizer stay f32
+            h = h.astype(jnp.dtype(self.dtype))
         h = GraphNorm(name="emb_gn")(h, graph)
         h = nn.Dropout(self.dropout)(h, deterministic=not training)
 
@@ -228,6 +245,7 @@ class EmbZGConv(nn.Module):
                 dropout=conv_dropout,
                 activation=self.activation,
                 spmm_mode=self.spmm_mode,
+                dtype=self.dtype,
                 name=f"conv_{layer}",
             )(graph, h, mask, training=training)
             xs.append(h)
@@ -262,6 +280,10 @@ class GLASS(nn.Module):
     z_ratio: float = 0.8
     jk: bool = True
     spmm_mode: Optional[str] = None
+    # "bfloat16": mixed-precision training — bf16 activation stream (every
+    # elementwise/norm/gather op is HBM-bound at production graph sizes),
+    # f32 params + optimizer, f32 GraphNorm statistics, f32 logits/loss
+    dtype: Optional[str] = None
 
     def setup(self):
         self.conv = EmbZGConv(
@@ -275,6 +297,7 @@ class GLASS(nn.Module):
             jk=self.jk,
             gn=True,
             spmm_mode=self.spmm_mode,
+            dtype=self.dtype,
         )
         self.preds = [TorchLinear(c, name=f"pred_{i}") for i, c in enumerate(self.output_channels)]
 

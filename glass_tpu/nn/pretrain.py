@@ -34,15 +34,18 @@ class MyGCNConv(nn.Module):
     out_channels: int
     activation: str = "relu"
     spmm_mode: Optional[str] = None
+    dtype: Optional[str] = None  # "bfloat16" = mixed-precision activations
 
     @nn.compact
     def __call__(self, graph: Graph, x_, *, training: bool = False):
         act = ACTIVATIONS[self.activation]
-        x = act(TorchLinear(self.out_channels, name="trans")(x_))
+        x = act(TorchLinear(self.out_channels, dtype=self.dtype, name="trans")(x_))
         x = spmm(graph, x, self.spmm_mode)
+        if self.dtype is not None:
+            x = x.astype(jnp.dtype(self.dtype))
         x = GraphNorm(name="gn")(x, graph)
         x = jnp.concatenate([x, x_], axis=-1)
-        return TorchLinear(self.out_channels, name="comb")(x)
+        return TorchLinear(self.out_channels, dtype=self.dtype, name="comb")(x)
 
 
 class EmbGConv(nn.Module):
@@ -63,6 +66,7 @@ class EmbGConv(nn.Module):
     jk: bool = False
     gn: bool = True
     spmm_mode: Optional[str] = None
+    dtype: Optional[str] = None  # "bfloat16" = mixed-precision activations
 
     @nn.compact
     def __call__(self, graph: Graph, x, z=None, *, training: bool = False):
@@ -73,6 +77,8 @@ class EmbGConv(nn.Module):
             embedding_init=normal_embedding_init,
             name="input_emb",
         )(x.reshape(-1))
+        if self.dtype is not None:
+            h = h.astype(jnp.dtype(self.dtype))
         h = nn.Dropout(self.dropout)(h, deterministic=not training)
         xs = []
         for layer in range(self.num_layers):
@@ -82,6 +88,7 @@ class EmbGConv(nn.Module):
                 out_channels=out_ch,
                 activation=self.activation,
                 spmm_mode=self.spmm_mode,
+                dtype=self.dtype,
                 name=f"conv_{layer}",
             )(graph, h, training=training)
             if not last:
@@ -106,6 +113,7 @@ class EdgeGNN(nn.Module):
     activation: str = "relu"
     jk: bool = False
     spmm_mode: Optional[str] = None
+    dtype: Optional[str] = None  # "bfloat16" = mixed-precision activations
 
     def setup(self):
         self.conv = EmbGConv(
@@ -118,6 +126,7 @@ class EdgeGNN(nn.Module):
             jk=self.jk,
             gn=True,
             spmm_mode=self.spmm_mode,
+            dtype=self.dtype,
         )
         head_in = self.hidden_channels * (self.num_layers if self.jk else 1)
         del head_in  # head input width is shape-inferred by TorchLinear

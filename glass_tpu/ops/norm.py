@@ -40,6 +40,16 @@ def graph_norm(
     reduction order.
     """
     if axis is None:
+        if x.dtype == jnp.bfloat16:
+            # mixed-precision mode: read/write activations in bf16 (the op is
+            # HBM-bound — half the bytes), but compute the statistics and the
+            # normalization in f32 registers; the casts fuse into the passes.
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(axis=0)
+            out = xf - mean * mean_scale
+            var = (out * out).mean(axis=0)
+            y = weight * out / jnp.sqrt(var + eps) + bias
+            return y.astype(jnp.bfloat16)
         mean = x.mean(axis=0)
         out = x - mean * mean_scale
         var = (out * out).mean(axis=0)
@@ -48,6 +58,9 @@ def graph_norm(
     import jax
 
     assert n_total is not None
+    in_dtype = x.dtype
+    if in_dtype == jnp.bfloat16:
+        x = x.astype(jnp.float32)  # f32 statistics/psums (see unsharded path)
     if node_mask is not None:
         xm = jnp.where(node_mask[:, None], x, 0.0)
     else:
@@ -56,7 +69,8 @@ def graph_norm(
     out = x - mean * mean_scale
     outm = jnp.where(node_mask[:, None], out, 0.0) if node_mask is not None else out
     var = jax.lax.psum((outm * outm).sum(axis=0), axis) / n_total
-    return weight * out / jnp.sqrt(var + eps) + bias
+    y = weight * out / jnp.sqrt(var + eps) + bias
+    return y.astype(in_dtype)
 
 
 def graph_size_norm(x: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:

@@ -289,7 +289,11 @@ def _band_kernel_xvmem(
 
     out_ref[...] = jnp.dot(
         slab_ref[...],
-        xfull[pl.ds(pl.multiple_of(clo_ref[i] * BLOCK, BLOCK), wb * BLOCK), :],
+        # cast to the slab dtype in-registers (Mosaic rejects mixed-dtype
+        # dots); x stays bf16 in VMEM when the activation stream is bf16
+        xfull[
+            pl.ds(pl.multiple_of(clo_ref[i] * BLOCK, BLOCK), wb * BLOCK), :
+        ].astype(block_dtype),
         preferred_element_type=jnp.float32,
         precision=_precision_for(block_dtype),
     )
@@ -481,9 +485,11 @@ def _band_untree(t, meta) -> BandedAdj:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_diff_band_spmm(fwd_meta, bwd_meta, interpret: bool, stripes: int):
+def _make_diff_band_spmm(fwd_meta, bwd_meta, interpret: bool, stripes: int,
+                         x_dtype: str = "float32"):
     """Differentiable banded SpMM, cached per static config. Backward
-    dx = A^T @ g is the SAME kernel over the transposed band layout."""
+    dx = A^T @ g is the SAME kernel over the transposed band layout; the
+    cotangent is cast back to the primal x dtype (bf16 activation streams)."""
 
     @jax.custom_vjp
     def f(fwd_t, bwd_t, x):
@@ -500,7 +506,7 @@ def _make_diff_band_spmm(fwd_meta, bwd_meta, interpret: bool, stripes: int):
         return (
             tuple(_zero_cotangent(a) for a in fwd_t),  # adjacency is data
             tuple(_zero_cotangent(a) for a in bwd_t),
-            dx,
+            dx.astype(x_dtype),
         )
 
     f.defvjp(fwd, bwd)
@@ -529,5 +535,5 @@ def spmm_band(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
         )
     interpret = jax.default_backend() != "tpu"
     f = _make_diff_band_spmm(_band_meta(fwd), _band_meta(bwd), interpret,
-                             DEFAULT_STRIPES)
+                             DEFAULT_STRIPES, jnp.dtype(x.dtype).name)
     return f(_band_tree(fwd), _band_tree(bwd), x)

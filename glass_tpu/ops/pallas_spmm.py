@@ -561,7 +561,8 @@ def _bcsr_untree(t, n_rb: int, n_node: int) -> BCSR:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_diff_bcsr_spmm(n_rb: int, n_node: int, interpret: bool):
+def _make_diff_bcsr_spmm(n_rb: int, n_node: int, interpret: bool,
+                         x_dtype: str = "float32"):
     """Differentiable BCSR SpMM, cached per static shape config.
 
     Forward is the Pallas kernel (which has no autodiff rule); backward
@@ -582,7 +583,7 @@ def _make_diff_bcsr_spmm(n_rb: int, n_node: int, interpret: bool):
         return (
             tuple(_zero_cotangent(a) for a in fwd_t),  # adjacency is data
             tuple(_zero_cotangent(a) for a in bwd_t),
-            dx,
+            dx.astype(x_dtype),  # cotangent dtype must match the primal x
         )
 
     f.defvjp(fwd, bwd)
@@ -601,5 +602,6 @@ def spmm_pallas(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     else:
         fwd, bwd = _bcsr_cache_lookup(graph)
     interpret = jax.default_backend() != "tpu"
-    f = _make_diff_bcsr_spmm(fwd.n_rb, graph.n_node, interpret)
+    f = _make_diff_bcsr_spmm(fwd.n_rb, graph.n_node, interpret,
+                             jnp.dtype(x.dtype).name)
     return f(_bcsr_tree(fwd), _bcsr_tree(bwd), x)

@@ -38,11 +38,13 @@ from glass_tpu.train.schedule import PlateauState, plateau_init, plateau_step
 
 def bce_with_logits(logits, y):
     """BCEWithLogitsLoss on flattened logits (reference: GLASSTest.py:57-58)."""
+    logits = logits.astype(jnp.float32)  # mixed-precision: f32 loss
     return optax.sigmoid_binary_cross_entropy(logits.ravel(), y.ravel()).mean()
 
 
 def ce_loss(logits, y):
     """CrossEntropyLoss (reference: GLASSTest.py:69)."""
+    logits = logits.astype(jnp.float32)  # mixed-precision: f32 loss
     return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
 
 

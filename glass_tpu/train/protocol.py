@@ -63,6 +63,9 @@ class ExperimentConfig:
     # framework knobs
     spmm_mode: Optional[str] = None
     dense_dtype: str = "f32"  # "bf16" halves SpMM HBM traffic (non-parity)
+    # "bf16": mixed-precision training — bf16 activation stream, f32
+    # params/optimizer/GraphNorm-stats/loss (non-parity fast mode)
+    compute_dtype: Optional[str] = None
     ckpt_dir: Optional[str] = None  # save best-val params + run state per repeat
     resume: bool = False  # resume from ckpt_dir's run-state checkpoint
     # multi-chip: node-partition the graph over this many mesh shards
@@ -157,6 +160,7 @@ def _run_one(
         z_ratio=cfg.z_ratio,
         jk=bool(cfg.jk),
         spmm_mode=spmm_mode,
+        dtype=("bfloat16" if cfg.compute_dtype in ("bf16", "bfloat16") else None),
     )
     tcfg = TrainConfig(
         lr=cfg.lr,
