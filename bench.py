@@ -78,9 +78,9 @@ def bench_glass_tpu(ei, n, hidden=64, iters=200):
             h, _ = jax.lax.scan(step, x0, None, length=iters)
             return h
 
-        many(x).block_until_ready()  # compile
+        _sync(many(x))  # compile
         t0 = time.perf_counter()
-        many(x).block_until_ready()
+        _sync(many(x))
         dt = (time.perf_counter() - t0) / iters
         eps = graph.n_edge / dt
         print(f"  glass_tpu spmm[{name}]: {dt * 1e6:.1f} us/iter = {eps / 1e9:.3f} G edges/s",
@@ -109,9 +109,17 @@ def bench_torch_reference(ei, n, hidden=64, iters=20):
     return eps
 
 
+def _sync(a):
+    """Force REAL completion by reading back one element. On some remote-TPU
+    terminals ``block_until_ready`` resolves before the computation actually
+    ran (observed after a terminal restart: a 10x8192^3 matmul "completed" in
+    0.1 ms); a scalar readback cannot lie."""
+    return float(a.ravel()[0])
+
+
 def _timed(fn, *args):
     t0 = time.perf_counter()
-    fn(*args).block_until_ready()
+    _sync(fn(*args))
     return time.perf_counter() - t0
 
 
@@ -178,7 +186,7 @@ def bench_bcsr_large(hidden=64, iters=100):
         # one dispatch covers `iters` scan steps; best-of-2 timed dispatches
         # still carries one tunnel round-trip (~20 ms through the remote-TPU
         # proxy), so keep iters high enough that it amortizes below the noise
-        many(x).block_until_ready()
+        _sync(many(x))
         dt = min(_timed(many, x), _timed(many, x)) / iters
         eps = graph.n_edge / dt
         print(f"  glass_tpu spmm[pallas-bcsr-{ddtype}]: {dt * 1e6:.1f} us/iter"
@@ -199,7 +207,7 @@ def bench_bcsr_large(hidden=64, iters=100):
             h, _ = jax.lax.scan(step, x0, None, length=iters)
             return h
 
-        many_grad(x).block_until_ready()
+        _sync(many_grad(x))
         dt = min(_timed(many_grad, x), _timed(many_grad, x)) / iters
         teps = 2 * graph.n_edge / dt
         print(f"  glass_tpu spmm[pallas-bcsr-{ddtype}] fwd+bwd: "

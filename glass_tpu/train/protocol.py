@@ -334,7 +334,10 @@ def _run_one(
             params, opt_state, plateau, rng_jax, jnp.asarray(pos_b), jnp.asarray(y_b)
         )
         if metered:
-            jax.block_until_ready(loss_val)
+            # scalar readback, not block_until_ready: some remote-TPU
+            # terminals resolve block_until_ready before execution finishes,
+            # which would inflate the sampled throughput
+            float(loss_val)
             meter.tick(nb_per_epoch)
         if i >= eval_after:
             score = val_score_fn()

@@ -69,12 +69,12 @@ def main():
         key = jax.random.PRNGKey(1)
 
         out = tr.train_epoch(params, opt_state, plateau, key, pos_b, y_b)
-        jax.block_until_ready(out[0])  # compile + warm
+        float(out[-1])  # compile + warm (scalar readback = real completion)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             out = tr.train_epoch(params, opt_state, plateau, key, pos_b, y_b)
-            jax.block_until_ready(out[0])
+            float(out[-1])  # readback-sync: block_until_ready can lie (bench.py _sync)
             best = min(best, time.perf_counter() - t0)
         dt_step = best / args.steps
         # model-level edge traversals: fwd + bwd per conv layer
