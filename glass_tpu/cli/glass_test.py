@@ -87,10 +87,19 @@ def load_pretrained_table(emb_path: str, dataset: str, hidden_dim: int):
     (``.npz`` with key 'embedding'; contract of reference GNNEmb.py:186-188)."""
     p = Path(emb_path) / f"{dataset}_{hidden_dim}.npz"
     if not p.exists():
-        raise FileNotFoundError(
-            f"pretrained embedding {p} not found; run `python -m "
-            f"glass_tpu.cli.gnn_emb --dataset {dataset}` first"
+        # Match the reference contract (GLASSTest.py:153-157): the table file
+        # is keyed by the config's hidden_dim, and gnn_emb always writes 64-d
+        # tables (GNNEmb.py hidden=64) — so --use_nodeid requires a config
+        # with hidden_dim=64 (the real-world datasets) or a custom config.
+        have = sorted(q.name for q in Path(emb_path).glob(f"{dataset}_*.npz"))
+        hint = (
+            f" Found {have} in {emb_path}: the table's dim must equal the "
+            f"config's hidden_dim ({hidden_dim}); gnn_emb writes 64-d tables, "
+            f"so use a config with hidden_dim=64 (--config_dir)."
+            if have
+            else f" Run `python -m glass_tpu.cli.gnn_emb --dataset {dataset}` first."
         )
+        raise FileNotFoundError(f"pretrained embedding {p} not found.{hint}")
     return np.load(p)["embedding"]
 
 

@@ -1,0 +1,82 @@
+"""CLI-level tests: the two-stage reference recipe driven through the real
+argparse surfaces (reference: README.md:55-66 — `python GNNEmb.py ...` then
+`python GLASSTest.py --use_nodeid ...`).
+
+These run the actual `main()` entry points in-process on CPU against a tiny
+generated dataset in the reference's `dataset_/{name}/tmp.npy` format; they
+lock the file contract between the two stages ({path}/{dataset}_{hidden}.npz,
+key 'embedding') and the config/data_root plumbing. The same recipe at full
+density scale is validated on the real TPU (RESULTS.md "two-stage reference
+recipe" row).
+"""
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture
+def tiny_density_root(tmp_path):
+    """A dataset_/density/tmp.npy miniature (reference format:
+    datasets.py:105-116 — dict with networkx graph, subG lists, letter
+    labels)."""
+    import networkx as nx
+
+    rng = np.random.default_rng(0)
+    n = 120
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    src = rng.integers(0, n, size=500)
+    dst = rng.integers(0, n, size=500)
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    subg = [sorted(rng.choice(n, size=5, replace=False).tolist())
+            for _ in range(200)]
+    labels = ["A" if i % 2 else "B" for i in range(200)]
+    d = tmp_path / "data" / "dataset_" / "density"
+    d.mkdir(parents=True)
+    np.save(d / "tmp.npy", {"G": g, "subG": subg, "subGLabel": labels})
+    return tmp_path / "data"
+
+
+def test_two_stage_ssl_then_glass(tmp_path, tiny_density_root):
+    from glass_tpu.cli import glass_test, gnn_emb
+
+    emb_dir = tmp_path / "emb"
+
+    # stage 1: SSL pretraining — writes {emb_dir}/density_64.npz
+    gnn_emb.main([
+        "--dataset", "density", "--use_nodeid", "--optruns", "1",
+        "--max_epochs", "1", "--path", str(emb_dir), "--device", "-1",
+        "--data_root", str(tiny_density_root),
+    ])
+    table = np.load(emb_dir / "density_64.npz")["embedding"]
+    assert table.shape == (120, 64) and np.isfinite(table).all()
+
+    # stage 2: fine-tune with the pretrained table. The table dim must equal
+    # the config's hidden_dim (GLASSTest.py:153-157), so use a 64-d config.
+    cfg_dir = tmp_path / "cfg"
+    cfg_dir.mkdir()
+    cfg = yaml.safe_load(
+        (glass_test.Path(glass_test.__file__).parent.parent
+         / "configs" / "density.yml").read_text()
+    )
+    cfg["hidden_dim"] = 64
+    (cfg_dir / "density.yml").write_text(yaml.safe_dump(cfg))
+
+    mean, err = glass_test.main([
+        "--dataset", "density", "--use_nodeid", "--use_maxzeroone",
+        "--repeat", "1", "--max_epochs", "25", "--device", "-1",
+        "--emb_path", str(emb_dir), "--config_dir", str(cfg_dir),
+        "--data_root", str(tiny_density_root),
+    ])
+    assert np.isfinite(mean) and mean > 0.0
+
+
+def test_use_nodeid_dim_mismatch_message(tmp_path):
+    """A 64-d table with an 8-d config must fail with the dim-contract hint,
+    not a bare file-not-found."""
+    from glass_tpu.cli.glass_test import load_pretrained_table
+
+    np.savez(tmp_path / "density_64.npz", embedding=np.zeros((10, 64), np.float32))
+    with pytest.raises(FileNotFoundError, match="hidden_dim"):
+        load_pretrained_table(str(tmp_path), "density", 8)
