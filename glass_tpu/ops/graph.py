@@ -44,9 +44,9 @@ EDGE_BUCKET = 1024
 # (n^2 float32 <= ~256 MiB at 8192).
 DENSE_NODE_LIMIT = 8192
 
-# 128x128 block edge shared by the Pallas layouts
-# (== ops.pallas_band.BLOCK == ops.pallas_spmm.BLOCK).
-BCSR_BLOCK = 128
+# 128x128 block edge shared by the Pallas layouts (the single definition
+# lives in ops/_pallas_common.py; pallas_band/pallas_spmm import it too).
+from glass_tpu.ops._pallas_common import BLOCK as BCSR_BLOCK
 
 
 @struct.dataclass
@@ -273,9 +273,14 @@ def build_graph(
             pat_sym,
         )
         if kind == "band" and not symmetric:
-            # transposed band layout must be feasible too (else BCSR both ways)
+            # The band VJP needs a banded A^T, so the transposed layout must
+            # fit VMEM too — else BCSR both ways. Plan the transpose with
+            # "auto" (not forced "band", which always returns band and made
+            # this fallback dead): an auto plan only returns band when a
+            # VMEM-feasible window exists and wins the cost model.
             kind_t, rps_t, _ = _plan_block_sparse(
-                c_np, r_np, w_np, n_node, dense_dtype, band_rps, "band",
+                c_np, r_np, w_np, n_node, dense_dtype, band_rps,
+                "auto" if sparse_layout == "auto" else "band",
                 pat_sym,
             )
             if kind_t != "band":

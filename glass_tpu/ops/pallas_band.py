@@ -46,7 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from glass_tpu.ops.graph import Graph
 
-BLOCK = 128
+from glass_tpu.ops._pallas_common import (
+    BLOCK,
+    precision_for as _precision_for,
+    zero_cotangent as _zero_cotangent,
+)
 NBUF = 2  # x-window double buffering
 
 # Per-step VMEM budget (slab double-buffer + x windows + out block) — v5e has
@@ -210,16 +214,6 @@ def build_band(row, col, weight, n_node: int, rps: int = 8, dtype="float32",
         n_node=n_node,
         rps=rps,
         w_blocks=a["w_blocks"],
-    )
-
-
-def _precision_for(block_dtype):
-    # f32 slabs: full-precision MXU passes (parity with the dense path);
-    # bf16 slabs: fast one-pass mode.
-    return (
-        jax.lax.Precision.HIGHEST
-        if block_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
     )
 
 
@@ -464,12 +458,6 @@ def band_spmm(
         interpret=interpret,
     )(band.clo, x_pad, band.slabs)
     return out[: x.shape[0], :h_in]
-
-
-def _zero_cotangent(a):
-    if jnp.issubdtype(a.dtype, jnp.inexact):
-        return jnp.zeros_like(a)
-    return np.zeros(a.shape, jax.dtypes.float0)
 
 
 def _band_tree(b: BandedAdj):

@@ -40,6 +40,8 @@ chunk's matching x row-blocks from HBM alongside it.
 from __future__ import annotations
 
 import functools
+from typing import Optional
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -49,7 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from glass_tpu.ops.graph import Graph
 
-BLOCK = 128
+from glass_tpu.ops._pallas_common import (
+    BLOCK,
+    precision_for as _precision_for,
+    zero_cotangent as _zero_cotangent,
+)
 CHUNK = 8  # adjacency blocks per DMA (CHUNK * 64 KiB f32 / 32 KiB bf16)
 NBUF = 4  # chunk buffer depth (outstanding DMAs)
 
@@ -128,19 +134,27 @@ def build_bcsr_arrays(
     weight: np.ndarray,
     n_node: int,
     dtype="float32",
+    n_col: Optional[int] = None,
+    pad_row_blocks: int = 0,
 ):
     """Host-side BCSR construction from (already normalized) host COO arrays;
     zero-weight padding edges are ignored. Returns a dict of numpy arrays
     (blocks, block_col, block_row_ptr, chunk_start/len/row/first) plus n_rb —
     callers place them on device (keeping this pure-numpy matters: device
-    readbacks through a remote-TPU tunnel are pathologically slow)."""
+    readbacks through a remote-TPU tunnel are pathologically slow).
+
+    ``n_col`` (default ``n_node``) makes the layout rectangular: rows index a
+    local node block while columns index the gathered global features (the
+    sharded case, parallel/partition.py). ``pad_row_blocks`` appends that many
+    empty row blocks — cross-shard chunk padding targets them so every shard's
+    chunk arrays can share one static length."""
     row = np.asarray(row)
     col = np.asarray(col)
     weight = np.asarray(weight)
     keep = weight != 0
     row, col, weight = row[keep], col[keep], weight[keep]
-    n_rb = -(-n_node // BLOCK)
-    n_cb = n_rb
+    n_rb = -(-n_node // BLOCK) + pad_row_blocks
+    n_cb = -(-(n_col if n_col is not None else n_node) // BLOCK)
     bid = (row // BLOCK) * n_cb + col // BLOCK
     order = np.argsort(bid, kind="stable")
     row, col, weight, bid = row[order], col[order], weight[order], bid[order]
@@ -195,7 +209,41 @@ def build_bcsr_arrays(
         chunk_first=cfirst,
         chunk_last=clast,
         n_rb=n_rb,
+        n_cb=n_cb,
     )
+
+
+def pad_bcsr_arrays(a: dict, n_store: int, nnz_b: int, n_chunks: int) -> dict:
+    """Pads a ``build_bcsr_arrays`` dict to the given static sizes so every
+    shard's layout shares one shape under shard_map. Pad chunks are copies of
+    the empty-row placeholder (clen=0, cfirst=clast=1) targeting the layout's
+    LAST row block — build with ``pad_row_blocks>=1`` so that block is an
+    all-zero pad whose output nobody reads. block_row_ptr is metadata only
+    (not a kernel operand) and is left untouched."""
+    out = dict(a)
+    cur_store = a["blocks"].shape[0]
+    cur_nnz = a["block_col"].shape[0]
+    cur_chunks = a["chunk_start"].shape[0]
+    assert n_store >= cur_store and nnz_b >= cur_nnz and n_chunks >= cur_chunks
+    if n_store > cur_store:
+        pad = np.zeros((n_store - cur_store,) + a["blocks"].shape[1:],
+                       dtype=a["blocks"].dtype)
+        out["blocks"] = np.concatenate([a["blocks"], pad])
+    if nnz_b > cur_nnz:
+        out["block_col"] = np.concatenate(
+            [a["block_col"], np.zeros(nnz_b - cur_nnz, np.int32)]
+        )
+    if n_chunks > cur_chunks:
+        k = n_chunks - cur_chunks
+        pad_row = a["n_rb"] - 1
+        out["chunk_start"] = np.concatenate([a["chunk_start"], np.zeros(k, np.int32)])
+        out["chunk_len"] = np.concatenate([a["chunk_len"], np.zeros(k, np.int32)])
+        out["chunk_row"] = np.concatenate(
+            [a["chunk_row"], np.full(k, pad_row, np.int32)]
+        )
+        out["chunk_first"] = np.concatenate([a["chunk_first"], np.ones(k, np.int32)])
+        out["chunk_last"] = np.concatenate([a["chunk_last"], np.ones(k, np.int32)])
+    return out
 
 
 def build_bcsr(
@@ -204,9 +252,12 @@ def build_bcsr(
     weight: np.ndarray,
     n_node: int,
     dtype="float32",
+    n_col: Optional[int] = None,
+    pad_row_blocks: int = 0,
 ) -> BCSR:
     """Device-placed BCSR (see build_bcsr_arrays)."""
-    a = build_bcsr_arrays(row, col, weight, n_node, dtype)
+    a = build_bcsr_arrays(row, col, weight, n_node, dtype,
+                          n_col=n_col, pad_row_blocks=pad_row_blocks)
     return BCSR(
         blocks=jnp.asarray(a["blocks"]),
         block_col=jnp.asarray(a["block_col"]),
@@ -217,18 +268,8 @@ def build_bcsr(
         chunk_first=jnp.asarray(a["chunk_first"]),
         chunk_last=jnp.asarray(a["chunk_last"]),
         n_rb=a["n_rb"],
-        n_cb=a["n_rb"],
+        n_cb=a["n_cb"],
         n_node=n_node,
-    )
-
-
-def _precision_for(block_dtype):
-    # f32 blocks: full-precision MXU passes for parity with the dense path;
-    # bf16 blocks: fast one-pass mode.
-    return (
-        jax.lax.Precision.HIGHEST
-        if block_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
     )
 
 
@@ -328,16 +369,16 @@ def _bcsr_chunk_kernel_large(
     crow_ref,
     bcol_ref,
     # inputs
-    x_hbm,  # (n_cb*BLOCK, H) HBM — too big for VMEM
-    blocks_hbm,  # (nnz_b + CHUNK, BLOCK, BLOCK) HBM
+    x_hbm,  # (n_cb*BLOCK, Hpad) HBM — too big for VMEM
+    blocks_hbm,  # (n_chunks, BLOCK, CHUNK*BLOCK) HBM wide-chunk storage
     # output
-    out_ref,  # (BLOCK, H) f32 VMEM block
+    out_ref,  # (BLOCK, Hpad) f32 VMEM block
     # scratch
-    ablk,  # (NBUF, CHUNK, BLOCK, BLOCK)
-    xblk,  # (NBUF, CHUNK, BLOCK, H) — per-block x row-block copies
-    acc,  # (BLOCK, H) f32 row accumulator (persists across grid steps)
-    asems,
-    xsems,  # (NBUF, CHUNK) per-block semaphores
+    ablk,  # (NBUF, BLOCK, CHUNK*BLOCK) — one wide chunk per slot
+    xblk,  # (NBUF, CHUNK*BLOCK, Hpad) — the chunk's x row-blocks, stacked
+    acc,  # (BLOCK, Hpad) f32 row accumulator (persists across grid steps)
+    asems,  # (NBUF,) chunk-DMA semaphores
+    xsems,  # (NBUF, CHUNK) per-x-row-block semaphores
     *,
     block_dtype,
     n_chunks,
@@ -491,7 +532,9 @@ def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
         grid_spec=grid_spec,
         interpret=interpret,
     )(*scalar_args, x_pad, bcsr.blocks)
-    return out[: x.shape[0], :h_in]
+    # trim by the layout's real row count, NOT x's: rectangular (sharded)
+    # layouts have out rows != x rows
+    return out[: bcsr.n_node, :h_in]
 
 
 # --------------------------------------------------------------------------
@@ -541,29 +584,29 @@ def coo_is_symmetric(row: np.ndarray, col: np.ndarray, w: np.ndarray) -> bool:
     )
 
 
-def _zero_cotangent(a):
-    """Zero cotangent with the dtype jax expects: float0 for integer primals."""
-    if jnp.issubdtype(a.dtype, jnp.inexact):
-        return jnp.zeros_like(a)
-    return np.zeros(a.shape, jax.dtypes.float0)
-
-
 def _bcsr_tree(b: BCSR):
     return (b.blocks, b.block_col, b.block_row_ptr, b.chunk_start,
             b.chunk_len, b.chunk_row, b.chunk_first, b.chunk_last)
 
 
-def _bcsr_untree(t, n_rb: int, n_node: int) -> BCSR:
+def _bcsr_untree(t, statics) -> BCSR:
+    n_rb, n_cb, n_node = statics
     return BCSR(blocks=t[0], block_col=t[1], block_row_ptr=t[2],
                 chunk_start=t[3], chunk_len=t[4], chunk_row=t[5],
-                chunk_first=t[6], chunk_last=t[7], n_rb=n_rb, n_cb=n_rb,
+                chunk_first=t[6], chunk_last=t[7], n_rb=n_rb, n_cb=n_cb,
                 n_node=n_node)
 
 
+def _bcsr_statics(b: BCSR):
+    return (b.n_rb, b.n_cb, b.n_node)
+
+
 @functools.lru_cache(maxsize=None)
-def _make_diff_bcsr_spmm(n_rb: int, n_node: int, interpret: bool,
+def _make_diff_bcsr_spmm(fwd_statics, bwd_statics, interpret: bool,
                          x_dtype: str = "float32"):
-    """Differentiable BCSR SpMM, cached per static shape config.
+    """Differentiable BCSR SpMM, cached per static shape config
+    ((n_rb, n_cb, n_node) of each layout — the forward and transposed
+    layouts differ when the layout is rectangular, i.e. sharded).
 
     Forward is the Pallas kernel (which has no autodiff rule); backward
     dx = A^T @ g is the SAME kernel over the transposed BCSR layout
@@ -572,14 +615,14 @@ def _make_diff_bcsr_spmm(n_rb: int, n_node: int, interpret: bool,
 
     @jax.custom_vjp
     def f(fwd_t, bwd_t, x):
-        return bcsr_spmm(_bcsr_untree(fwd_t, n_rb, n_node), x, interpret=interpret)
+        return bcsr_spmm(_bcsr_untree(fwd_t, fwd_statics), x, interpret=interpret)
 
     def fwd(fwd_t, bwd_t, x):
         return f(fwd_t, bwd_t, x), (fwd_t, bwd_t)
 
     def bwd(res, g):
         fwd_t, bwd_t = res
-        dx = bcsr_spmm(_bcsr_untree(bwd_t, n_rb, n_node), g, interpret=interpret)
+        dx = bcsr_spmm(_bcsr_untree(bwd_t, bwd_statics), g, interpret=interpret)
         return (
             tuple(_zero_cotangent(a) for a in fwd_t),  # adjacency is data
             tuple(_zero_cotangent(a) for a in bwd_t),
@@ -593,15 +636,18 @@ def _make_diff_bcsr_spmm(n_rb: int, n_node: int, interpret: bool,
 def spmm_pallas(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     """SpMM via the BCSR Pallas kernel, differentiable (custom VJP: backward
     is the same kernel over the transposed layout). Prefers the layouts
-    prebuilt on the Graph (build_graph(materialize_bcsr=True)); otherwise
-    builds them once from the COO arrays (device readback — avoid on
-    remote-TPU tunnels; cached per graph identity). Falls back to interpret
-    mode off-TPU."""
+    prebuilt on the Graph (build_graph(materialize_bcsr=True) or a sharded
+    local layout from parallel/partition.py); otherwise builds them once from
+    the COO arrays (device readback — avoid on remote-TPU tunnels; cached per
+    graph identity). Falls back to interpret mode off-TPU.
+
+    For sharded graphs ``x`` must already be the gathered global features
+    (ops.spmm handles the all-gather; its AD transpose reduce-scatters dx)."""
     if graph.bcsr is not None:
         fwd, bwd = graph.bcsr, graph.bcsr_t if graph.bcsr_t is not None else graph.bcsr
     else:
         fwd, bwd = _bcsr_cache_lookup(graph)
     interpret = jax.default_backend() != "tpu"
-    f = _make_diff_bcsr_spmm(fwd.n_rb, graph.n_node, interpret,
+    f = _make_diff_bcsr_spmm(_bcsr_statics(fwd), _bcsr_statics(bwd), interpret,
                              jnp.dtype(x.dtype).name)
     return f(_bcsr_tree(fwd), _bcsr_tree(bwd), x)

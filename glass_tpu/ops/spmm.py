@@ -106,12 +106,21 @@ def spmm_ring(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
         )
         return nxt, contrib
 
-    # prime: after one permute this shard holds block (shard+1) % K = bucket 0
+    # prime: after one permute this shard holds block (shard+1) % K = bucket 0.
+    # The last bucket is computed outside the scan so no permute is issued
+    # for a buffer nobody reads: K-1 ppermutes total, not K (collectives in
+    # the scan body can't be dead-code-eliminated per-step).
     buf = jax.lax.ppermute(x, axis, perm)
-    _, contribs = jax.lax.scan(
-        step, buf, (graph.ring_row, graph.ring_col, graph.ring_weight)
+    buckets = (graph.ring_row, graph.ring_col, graph.ring_weight)
+    buf, contribs = jax.lax.scan(step, buf, tuple(b[:-1] for b in buckets))
+    r_l, c_l, w_l = (b[-1] for b in buckets)
+    last = jax.ops.segment_sum(
+        buf[c_l] * w_l[:, None],
+        r_l,
+        num_segments=graph.n_node,
+        indices_are_sorted=True,
     )
-    return local + contribs.sum(axis=0)
+    return local + contribs.sum(axis=0) + last
 
 
 def spmm_dense(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
@@ -160,6 +169,13 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
         return spmm_segment(graph, x)
     if mode == "ring":
         return spmm_ring(graph, x)
+    if mode == "pallas" and graph.axis is not None:
+        # sharded: each shard runs the kernel over its local (rows-local,
+        # cols-global) BCSR layout on the gathered features; AD of the
+        # all_gather reduce-scatters dx back to the shards
+        from glass_tpu.ops.pallas_spmm import spmm_pallas
+
+        return spmm_pallas(graph, gather_global(graph, x))
     if mode == "pallas" and graph.band is not None and graph.bcsr is not None:
         mode = "hybrid"
     elif mode == "pallas" and graph.band is not None:

@@ -23,6 +23,71 @@ from glass_tpu.ops.graph import Graph, normalized_edge_weight
 
 
 @dataclasses.dataclass(frozen=True)
+class StackedBCSR:
+    """K per-shard BCSR layouts stacked on a leading shard axis, padded to
+    one static shape (ops.pallas_spmm.pad_bcsr_arrays) so they can be
+    shard_map operands. Forward layouts are rectangular: local rows x global
+    columns (the kernel consumes the all-gathered features); transposed
+    layouts are the mirror (global rows x local columns) for the backward
+    pass dx = A_local^T @ g."""
+
+    blocks: np.ndarray  # (K, n_store, BLOCK, CHUNK*BLOCK)
+    block_col: np.ndarray  # (K, nnz_b)
+    chunk_start: np.ndarray  # (K, n_chunks)
+    chunk_len: np.ndarray
+    chunk_row: np.ndarray
+    chunk_first: np.ndarray
+    chunk_last: np.ndarray
+    n_rb: int
+    n_cb: int
+    n_node: int  # real output rows of each local layout
+
+    def tree(self):
+        """Device operands for shard_map, leading dim K."""
+        import jax.numpy as jnp
+
+        return tuple(
+            jnp.asarray(a) for a in (
+                self.blocks, self.block_col, self.chunk_start, self.chunk_len,
+                self.chunk_row, self.chunk_first, self.chunk_last,
+            )
+        )
+
+    def specs(self, axis: str):
+        from jax.sharding import PartitionSpec as P
+
+        return tuple(
+            P(axis, *([None] * (a.ndim - 1))) for a in (
+                self.blocks, self.block_col, self.chunk_start, self.chunk_len,
+                self.chunk_row, self.chunk_first, self.chunk_last,
+            )
+        )
+
+    def local(self, t):
+        """Rebuilds this shard's BCSR inside shard_map from the 7 sliced
+        operands (each with a leading dim of 1). block_row_ptr is kernel
+        metadata the sharded path never reads — a zero placeholder keeps the
+        BCSR pytree structure uniform."""
+        import jax.numpy as jnp
+        from glass_tpu.ops.pallas_spmm import BCSR
+
+        blocks, bcol, cs, cl, cr, cf, cla = t
+        return BCSR(
+            blocks=blocks.reshape(blocks.shape[1:]),
+            block_col=bcol.reshape(-1),
+            block_row_ptr=jnp.zeros(self.n_rb + 1, jnp.int32),
+            chunk_start=cs.reshape(-1),
+            chunk_len=cl.reshape(-1),
+            chunk_row=cr.reshape(-1),
+            chunk_first=cf.reshape(-1),
+            chunk_last=cla.reshape(-1),
+            n_rb=self.n_rb,
+            n_cb=self.n_cb,
+            n_node=self.n_node,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class PartitionedGraph:
     """Stacked per-shard arrays, leading dim = K shards (shard_map operand).
 
@@ -48,6 +113,10 @@ class PartitionedGraph:
     ring_row: Optional[np.ndarray] = None  # (K, K-1, E_ring)
     ring_col: Optional[np.ndarray] = None  # (K, K-1, E_ring)
     ring_weight: Optional[np.ndarray] = None
+    # per-shard Pallas BCSR layouts (partition_graph(materialize_bcsr=True)):
+    # the fast-kernel path for sharded large graphs
+    bcsr: Optional[StackedBCSR] = None
+    bcsr_t: Optional[StackedBCSR] = None
 
     def local_graph(self, row, col, weight, dense, axis: str,
                     loc_row=None, loc_col=None, loc_weight=None,
@@ -94,6 +163,8 @@ def partition_graph(
     n_shards: int,
     *,
     materialize_dense: bool = False,
+    materialize_bcsr: bool = False,
+    dense_dtype: str = "f32",
     edge_bucket: int = 256,
     overlap: bool = True,
     ring: bool = False,
@@ -178,9 +249,57 @@ def partition_graph(
             sel = shard_of == k
             np.add.at(dense[k], (row[sel] - k * nb, col[sel]), w[sel])
 
+    bcsr = bcsr_t = None
+    if materialize_bcsr:
+        bcsr, bcsr_t = _build_stacked_bcsr(
+            row, col, w, shard_of, n_shards, nb, dense_dtype
+        )
+
     return PartitionedGraph(
         row=rows, col=cols, weight=ws, dense=dense,
         n_shards=n_shards, block=nb, n_node=n_node, n_edge=n_edge, aggr=aggr,
         loc_row=lrows, loc_col=lcols, loc_weight=lws,
         ring_row=ring_rows, ring_col=ring_cols, ring_weight=ring_ws,
+        bcsr=bcsr, bcsr_t=bcsr_t,
     )
+
+
+def _build_stacked_bcsr(row, col, w, shard_of, n_shards, nb, dense_dtype):
+    """Per-shard rectangular BCSR layouts (forward: local rows x global
+    columns; transposed: global rows x local columns), padded to one static
+    shape across shards. Each layout gets one appended zero row block
+    (pad_row_blocks=1) as the target of cross-shard chunk padding."""
+    from glass_tpu.ops.pallas_spmm import build_bcsr_arrays, pad_bcsr_arrays
+
+    bdtype = "float32" if dense_dtype == "f32" else "bfloat16"
+    n_glob = n_shards * nb
+    fwd, bwd = [], []
+    for k in range(n_shards):
+        sel = shard_of == k
+        r_l = (row[sel] - k * nb).astype(np.int64)
+        c_g = col[sel].astype(np.int64)
+        w_k = w[sel]
+        fwd.append(build_bcsr_arrays(r_l, c_g, w_k, nb, bdtype,
+                                     n_col=n_glob, pad_row_blocks=1))
+        bwd.append(build_bcsr_arrays(c_g, r_l, w_k, n_glob, bdtype,
+                                     n_col=nb, pad_row_blocks=1))
+
+    def stack(parts, n_node):
+        n_store = max(p["blocks"].shape[0] for p in parts)
+        nnz_b = max(p["block_col"].shape[0] for p in parts)
+        n_chunks = max(p["chunk_start"].shape[0] for p in parts)
+        parts = [pad_bcsr_arrays(p, n_store, nnz_b, n_chunks) for p in parts]
+        return StackedBCSR(
+            blocks=np.stack([p["blocks"] for p in parts]),
+            block_col=np.stack([p["block_col"] for p in parts]),
+            chunk_start=np.stack([p["chunk_start"] for p in parts]),
+            chunk_len=np.stack([p["chunk_len"] for p in parts]),
+            chunk_row=np.stack([p["chunk_row"] for p in parts]),
+            chunk_first=np.stack([p["chunk_first"] for p in parts]),
+            chunk_last=np.stack([p["chunk_last"] for p in parts]),
+            n_rb=parts[0]["n_rb"],
+            n_cb=parts[0]["n_cb"],
+            n_node=n_node,
+        )
+
+    return stack(fwd, nb), stack(bwd, n_glob)

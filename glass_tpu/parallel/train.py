@@ -82,6 +82,13 @@ class ShardedTrainer:
                 jnp.asarray(pgraph.ring_weight),
             )
             gspecs.extend([P("graph", None, None)] * 3)
+        # per-shard Pallas BCSR layouts: the fast-kernel path for sharded
+        # large graphs (partition_graph(materialize_bcsr=True))
+        self.has_bcsr = pgraph.bcsr is not None
+        if self.has_bcsr:
+            self.gparts = self.gparts + pgraph.bcsr.tree() + pgraph.bcsr_t.tree()
+            gspecs.extend(pgraph.bcsr.specs("graph"))
+            gspecs.extend(pgraph.bcsr_t.specs("graph"))
         gspecs = tuple(gspecs)
         xspec = P("graph", None)
 
@@ -155,7 +162,14 @@ class ShardedTrainer:
         ring = (None, None, None)
         if getattr(self, "has_ring", False):
             ring = gargs[i: i + 3]
-        return self.pg.local_graph(row, col, w, dense, "graph", *loc, *ring)
+            i += 3
+        graph = self.pg.local_graph(row, col, w, dense, "graph", *loc, *ring)
+        if getattr(self, "has_bcsr", False):
+            graph = graph.replace(
+                bcsr=self.pg.bcsr.local(gargs[i: i + 7]),
+                bcsr_t=self.pg.bcsr_t.local(gargs[i + 7: i + 14]),
+            )
+        return graph
 
     def _z(self, graph, pos):
         if not self.cfg.use_z:

@@ -68,6 +68,11 @@ class ExperimentConfig:
     compute_dtype: Optional[str] = None
     ckpt_dir: Optional[str] = None  # save best-val params + run state per repeat
     resume: bool = False  # resume from ckpt_dir's run-state checkpoint
+    # run-state checkpoint cadence (epochs). Each save reads params + both
+    # Adam moments back from the device — at em_user scale tens of MB through
+    # a remote-TPU tunnel — so per-epoch saving would nullify the async epoch
+    # pipeline; a resumed run replays identically from the last save anyway.
+    ckpt_every: int = 10
     # multi-chip: node-partition the graph over this many mesh shards
     # (requires graph_shards * data_shards devices); 1 = single-device
     graph_shards: int = 1
@@ -112,6 +117,30 @@ def run_experiment(cfg: ExperimentConfig, log: Callable[[str], None] = print):
     return scores, mean, err
 
 
+def _auto_route(cfg: ExperimentConfig, n_node: int, backend: str):
+    """(spmm_mode, use_rcm) after TPU auto-routing. Graphs beyond the
+    dense-adjacency limit are RCM-reordered and run the BCSR Pallas kernel
+    (VERDICT round-1 weak #4: component-scale graphs fell to the slow
+    segment path). RCM is prediction-invariant (tested) and the BCSR path
+    is training-complete, so this changes speed, not results.
+
+    Covers the single-device trainer and explicit-sharded runs (the
+    ShardedTrainer materializes per-shard rectangular BCSR layouts,
+    parallel/partition.py::StackedBCSR). GSPMD ``sharding='auto'`` keeps the
+    default segment path: it traces one global program where the host-side
+    layout lookup cannot run on tracers."""
+    from glass_tpu.ops.graph import DENSE_NODE_LIMIT
+
+    if (
+        cfg.spmm_mode is None
+        and n_node > DENSE_NODE_LIMIT
+        and backend == "tpu"
+        and cfg.sharding is None
+    ):
+        return "pallas", True
+    return cfg.spmm_mode, cfg.rcm
+
+
 def _run_one(
     cfg: ExperimentConfig,
     seed: int,
@@ -122,23 +151,7 @@ def _run_one(
     base = load_dataset(cfg.dataset, rng, cfg.data_root)
     apply_feature(base, cfg.feature)
 
-    # TPU auto-routing for graphs beyond the dense-adjacency limit (VERDICT
-    # round-1 weak #4: component-scale graphs fell to the slow segment path):
-    # RCM-reorder for block locality and run the BCSR Pallas kernel. RCM is
-    # prediction-invariant (tested) and the BCSR path is training-complete
-    # (transposed-kernel backward), so this changes speed, not results.
-    from glass_tpu.ops.graph import DENSE_NODE_LIMIT
-
-    spmm_mode = cfg.spmm_mode
-    use_rcm = cfg.rcm
-    if (
-        spmm_mode is None
-        and base.n_node > DENSE_NODE_LIMIT
-        and jax.default_backend() == "tpu"
-        and cfg.graph_shards == 1
-    ):
-        spmm_mode = "pallas"
-        use_rcm = True
+    spmm_mode, use_rcm = _auto_route(cfg, base.n_node, jax.default_backend())
     if use_rcm:
         from glass_tpu.native import rcm_ordering
 
@@ -214,6 +227,8 @@ def _run_one(
             pg = partition_graph(base.edge_index, base.edge_weight, base.n_node,
                                  cfg.aggr, cfg.graph_shards,
                                  materialize_dense=spmm_mode == "dense",
+                                 materialize_bcsr=spmm_mode == "pallas",
+                                 dense_dtype=cfg.dense_dtype,
                                  ring=cfg.ring and cfg.graph_shards > 1)
             trainer = ShardedTrainer(model, pg, base.x, tcfg, mesh)
         else:
@@ -362,9 +377,11 @@ def _run_one(
                     log(f"iter {i} loss {loss_val:.4f} val {score:.4f} tst {tst_score():.4f}")
         if val_score >= 1 - 1e-5:
             early_stop += 1
-        save_state(i)
+        if (i + 1) % cfg.ckpt_every == 0:
+            save_state(i)
         if early_stop > stop_after:
             break
+    save_state(i)  # final state, whatever the cadence
     log(
         f"end: epoch {i + 1}, train time {time.time() - t0:.2f} s, "
         f"val {val_score:.3f}, tst {tst_best:.3f}"

@@ -247,3 +247,28 @@ def test_band_nondivisible_rows_and_features(rng):
     ref = np.asarray(spmm(g, x, "dense"))
     assert out.shape == (n, 19)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_asymmetric_infeasible_transpose_falls_back_to_bcsr():
+    """A graph whose forward profile is banded but whose transpose's window
+    spans every column block must NOT materialize a full-width transposed
+    band (GB-scale slabs): build_graph falls back to BCSR for both
+    directions. Regression: the feasibility check used to plan the transpose
+    with forced 'band', which always returns band, making the fallback dead
+    and the first backward pass OOM."""
+    rng = np.random.default_rng(0)
+    n = 200 * 128  # 200 column blocks: a full-width band is VMEM-infeasible
+    src = np.arange(n)
+    dst = 100 * 128 + rng.integers(0, 128, size=n)  # all into one block
+    ei = np.stack([src, dst])
+    g = build_graph(ei, None, n, "sum", materialize_dense=False,
+                    materialize_bcsr=True)
+    assert g.band is None and g.band_t is None
+    assert g.bcsr is not None and g.bcsr_t is not None
+
+    # and the planner itself: forward auto-plan may be band, transpose not
+    from glass_tpu.ops.graph import _plan_block_sparse
+
+    w = np.ones(n, dtype=np.float32)
+    kind_t, _, _ = _plan_block_sparse(dst, src, w, n, "f32", None, "auto", False)
+    assert kind_t != "band"

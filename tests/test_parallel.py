@@ -430,3 +430,105 @@ def test_sharded_eval_matches_single_device(rng):
     st = ShardedTrainer(model, pg, x, cfg, mesh)
     sh_logits = np.asarray(st.eval_step(params, pos))
     np.testing.assert_allclose(sh_logits, ref_logits, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_pallas_spmm_matches_unsharded(rng):
+    """Per-shard BCSR layouts (partition_graph(materialize_bcsr=True)) run
+    the Pallas kernel inside shard_map on the gathered features; forward and
+    backward must match the unsharded dense path."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ei, n = toy(rng)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    ref = np.asarray(spmm(g, jnp.asarray(x), "dense"))
+    ref_grad = np.asarray(jax.grad(
+        lambda v: (spmm(g, v, "dense") ** 2).sum()
+    )(jnp.asarray(x)))
+
+    K = 4
+    pg = partition_graph(ei, None, n, "mean", K, materialize_bcsr=True)
+    assert pg.bcsr is not None and pg.bcsr_t is not None
+    # forward layouts are rectangular: local rows x global columns
+    assert pg.bcsr.n_node == pg.block
+    assert pg.bcsr_t.n_node == K * pg.block
+    mesh = make_mesh(graph_shards=K, data_shards=2)
+    xp = pg.pad_nodes(x)
+
+    def local_graph(gargs):
+        graph = pg.local_graph(*gargs[:3], None, "graph", *gargs[3:6])
+        return graph.replace(bcsr=pg.bcsr.local(gargs[6:13]),
+                             bcsr_t=pg.bcsr_t.local(gargs[13:20]))
+
+    def body(x_loc, *gargs):
+        return spmm(local_graph(gargs), x_loc, "pallas")
+
+    def grad_body(x_loc, *gargs):
+        graph = local_graph(gargs)
+
+        # per-shard local loss (no psum): the implicit total over shards is
+        # the reference loss, and the all_gather transpose (reduce-scatter)
+        # combines every shard's dx contribution. A psum here would inflate
+        # the cotangent K-fold (psum transposes to psum under check_vma=False).
+        def loss(v):
+            out = spmm(graph, v, "pallas")
+            return (out ** 2).sum()
+
+        return jax.grad(loss)(x_loc)
+
+    gargs = [jnp.asarray(pg.row), jnp.asarray(pg.col), jnp.asarray(pg.weight),
+             jnp.asarray(pg.loc_row), jnp.asarray(pg.loc_col),
+             jnp.asarray(pg.loc_weight)]
+    gspecs = [P("graph", None)] * 6
+    gargs += list(pg.bcsr.tree()) + list(pg.bcsr_t.tree())
+    gspecs += list(pg.bcsr.specs("graph")) + list(pg.bcsr_t.specs("graph"))
+
+    out = shard_map(
+        body, mesh=mesh, in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None), check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=1e-4, atol=1e-5)
+
+    gout = shard_map(
+        grad_body, mesh=mesh, in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None), check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    np.testing.assert_allclose(np.asarray(gout)[:n], ref_grad, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_sharded_pallas_training_matches_single_device(rng):
+    """A ShardedTrainer whose model runs --spmm pallas over the per-shard
+    BCSR layouts reproduces the unsharded whole-epoch step (the sharded
+    fast-kernel path end-to-end)."""
+    ei, n = toy(rng, n=50, e=200)
+    n_sub, L = 8, 5
+    pos = np.stack([rng.choice(n, size=L, replace=False) for _ in range(n_sub)])
+    y = rng.integers(0, 3, size=n_sub)
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=2,
+                  output_channels=(3,), pools=("size",), dropout=0.0,
+                  activation="elu", z_ratio=0.8, jk=True, spmm_mode="pallas")
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    cfg = TrainConfig(lr=1e-2, batch_size=n_sub, loss="ce", use_z=True)
+
+    g = build_graph(ei, None, n, "mean", materialize_dense=False,
+                    materialize_bcsr=True)
+    ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, donate=False)
+    params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
+    rngk = jax.random.PRNGKey(7)
+    ref_params, _, _, _, ref_loss = ref_tr._epoch(
+        params, opt_state, plateau, rngk,
+        jnp.asarray(pos[None]), jnp.asarray(y[None]),
+    )
+
+    pg = partition_graph(ei, None, n, "mean", 4, materialize_bcsr=True)
+    mesh = make_mesh(graph_shards=4, data_shards=2)
+    st = ShardedTrainer(model, pg, x, cfg, mesh)
+    assert st.has_bcsr
+    sh_params, sh_opt, sh_loss = st.train_step(
+        params, st.tx.init(params), plateau.lr, rngk, pos, y
+    )
+    np.testing.assert_allclose(float(sh_loss), float(ref_loss), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(sh_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-2)

@@ -153,3 +153,29 @@ def test_density_short_run_reaches_signal():
     assert mean > 0.6, f"density short run micro-F1 {mean}; logs: {logs[-3:]}"
     assert any("iter" in l for l in logs)
     assert any(l.startswith("average") for l in logs)
+
+
+def test_auto_route_gate():
+    """TPU auto-routing to the Pallas BCSR path covers the single-device
+    trainer AND explicit-sharded runs (per-shard StackedBCSR layouts), but
+    not GSPMD sharding='auto' (one traced global program — the host-side
+    layout lookup would hit tracers, TracerArrayConversionError)."""
+    from glass_tpu.train.protocol import ExperimentConfig, _auto_route
+
+    big = 20000  # > DENSE_NODE_LIMIT
+    base = dict(dataset="density", spmm_mode=None)
+    assert _auto_route(ExperimentConfig(**base), big, "tpu") == ("pallas", True)
+    # explicit-sharded runs route too (ShardedTrainer materializes
+    # per-shard BCSR layouts)
+    for kw in (dict(data_shards=4), dict(graph_shards=2),
+               dict(graph_shards=2, data_shards=2)):
+        cfg = ExperimentConfig(**base, **kw)
+        assert _auto_route(cfg, big, "tpu") == ("pallas", True)
+    # GSPMD auto mode keeps the default (segment) path
+    cfg = ExperimentConfig(**base, sharding="auto")
+    assert _auto_route(cfg, big, "tpu") == (None, False)
+    # CPU backend / small graphs / explicit mode are untouched
+    assert _auto_route(ExperimentConfig(**base), big, "cpu") == (None, False)
+    assert _auto_route(ExperimentConfig(**base), 100, "tpu") == (None, False)
+    cfg = ExperimentConfig(dataset="density", spmm_mode="segment")
+    assert _auto_route(cfg, big, "tpu") == ("segment", False)
