@@ -184,8 +184,10 @@ def load_real(name: str, data_root: Optional[str] = None) -> BaseGraphData:
         mask=mask,
     )
     if cache is not None:
+        from glass_tpu.utils.checkpoint import atomic_savez
+
         cache.parent.mkdir(parents=True, exist_ok=True)
-        np.savez(
+        atomic_savez(
             cache, x=base.x, edge_index=base.edge_index,
             edge_weight=base.edge_weight, pos=base.pos, y=base.y, mask=base.mask,
         )

@@ -244,8 +244,14 @@ def run_hpo(
             score = objective_with(params)
             done.append({"params": params, "score": float(score)})
             if state_path is not None:
+                import os
+
                 state_path.parent.mkdir(parents=True, exist_ok=True)
-                state_path.write_text(json.dumps({"trials": done}))
+                # temp + rename: a kill mid-write must not corrupt the study
+                # file the next resume reads
+                tmp = state_path.with_name(state_path.name + ".tmp")
+                tmp.write_text(json.dumps({"trials": done}))
+                os.replace(tmp, state_path)
         log(f"best params {best.get('params')}")
         log(f"best valf1 {best['score']}")
     return best

@@ -15,11 +15,22 @@ The SSL embedding-table contract (``{name}_{hidden}.npz`` with key
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Any
 
 import numpy as np
 import jax
+
+
+def atomic_savez(path: Path, **arrays) -> None:
+    """np.savez via a same-directory temp file + os.replace, so a kill mid-
+    write can never leave a truncated .npz at the final path (a corrupted
+    resume checkpoint would crash every subsequent --resume attempt)."""
+    # the temp name must keep the .npz suffix — np.savez appends one otherwise
+    tmp = path.with_name(path.name + ".tmp.npz")
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
 
 
 def _path_key(path) -> str:
@@ -49,7 +60,7 @@ def save_checkpoint(path: str | Path, tree: Any) -> None:
     path = Path(path)
     if path.suffix == ".npz":
         path.parent.mkdir(parents=True, exist_ok=True)
-        np.savez(path, **_flatten(tree))
+        atomic_savez(path, **_flatten(tree))
         return
     try:
         import orbax.checkpoint as ocp
@@ -57,7 +68,7 @@ def save_checkpoint(path: str | Path, tree: Any) -> None:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path.absolute(), tree, force=True)
     except ImportError:
-        np.savez(path.with_suffix(".npz"), **_flatten(tree))
+        atomic_savez(path.with_suffix(".npz"), **_flatten(tree))
 
 
 def save_run_state(
@@ -102,7 +113,7 @@ def save_run_state(
             )
         )
     )
-    np.savez(path, **flat)
+    atomic_savez(path, **flat)
 
 
 def load_run_state(path: str | Path, *, params, opt_state, plateau, rng_key, np_rng):
