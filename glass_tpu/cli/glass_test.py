@@ -60,6 +60,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true",
                         help="resume each repeat from ckpt_dir's run-state "
                              "checkpoint (bit-exact continuation)")
+    parser.add_argument("--ckpt_every", type=int, default=10,
+                        help="run-state checkpoint cadence in epochs (each "
+                             "save reads params+optimizer back from device)")
     parser.add_argument("--rcm", action="store_true",
                         help="RCM-reorder nodes (locality for --spmm pallas / partitioning)")
     parser.add_argument("--graph_shards", type=int, default=1,
@@ -145,6 +148,7 @@ def main(argv=None):
         data_root=args.data_root,
         ckpt_dir=args.ckpt_dir,
         resume=args.resume,
+        ckpt_every=args.ckpt_every,
         rcm=args.rcm,
         graph_shards=args.graph_shards,
         data_shards=args.data_shards,

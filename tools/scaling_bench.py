@@ -25,6 +25,14 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
+def _sync(a):
+    """Force real completion via scalar readback; block_until_ready can
+    resolve before execution through the remote-TPU tunnel (CLAUDE.md)."""
+    import jax.numpy as jnp
+
+    return float(jnp.ravel(a)[0])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--force_cpu", type=int, default=0,
@@ -86,13 +94,16 @@ def main():
             tr = ShardedTrainer(model, pg, x, cfg, mesh)
             params, opt_state, plateau = tr.init(0, pos_b[0])
             key = jax.random.PRNGKey(0)
-            # warm up / compile the epoch program
+            # warm up / compile the epoch program. Sync by scalar readback,
+            # not block_until_ready: through the remote-TPU tunnel the latter
+            # can resolve before execution finishes (see CLAUDE.md), which
+            # would make the efficiency table tunnel noise.
             out = tr.train_epoch(params, opt_state, plateau, key, pos_b, y_b)
-            jax.block_until_ready(out[0])
+            _sync(out[4])
             t0 = time.perf_counter()
-            p, o, pl, key, _ = tr.train_epoch(params, opt_state, plateau, key,
-                                              pos_b, y_b)
-            jax.block_until_ready(p)
+            p, o, pl, key, loss = tr.train_epoch(params, opt_state, plateau,
+                                                 key, pos_b, y_b)
+            _sync(loss)
             dt = (time.perf_counter() - t0) / nb
             # per step: fwd+bwd edge traversals per conv layer (2x2e directed)
             edges_per_step = 2 * 2 * e * args.layers
