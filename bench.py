@@ -216,7 +216,47 @@ def bench_bcsr_large(hidden=64, iters=100):
     return best, ei, n
 
 
+def _tpu_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe device init in a subprocess with a hard timeout. The axon
+    remote-TPU tunnel can become unresponsive (observed: jax.devices() hangs
+    >20 min); without this guard the bench would hang forever at first
+    device touch instead of falling back to CPU."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import jax
+
+    # read the *configured* platform (jax.default_backend() would itself
+    # initialize the backend and hang on a dead tunnel)
+    configured = (jax.config.jax_platforms or "").split(",")[0]
+    if configured != "cpu" and not _tpu_reachable():
+        print("TPU tunnel unresponsive — falling back to CPU "
+              "(metric renamed; not comparable to TPU rounds)", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        # CPU: dense-MXU small workload only (the Pallas kernels would run
+        # in interpret mode — meaningless to time)
+        ei, n = load_density_graph()
+        ours = bench_glass_tpu(ei, n)
+        theirs = bench_torch_reference(ei, n)
+        print(json.dumps({
+            "metric": "spmm_edges_per_s_cpu_fallback",
+            "value": round(ours, 1),
+            "unit": "edges/s",
+            "vs_baseline": round(ours / theirs, 3),
+        }))
+        return
+
     # small bundled graph: dense-MXU regime (diagnostics)
     ei, n = load_density_graph()
     print(f"density graph: {n} nodes, {ei.shape[1]} directed edges",
