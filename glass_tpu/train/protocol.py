@@ -141,6 +141,26 @@ def _auto_route(cfg: ExperimentConfig, n_node: int, backend: str):
     return cfg.spmm_mode, cfg.rcm
 
 
+def make_glass_model(cfg: ExperimentConfig, base, spmm_mode):
+    """The GLASS module exactly as the experiment protocol constructs it
+    (reference buildModel, GLASSTest.py:129-175) — shared with the inference
+    CLI (cli/glass_predict.py) so a checkpoint always reloads into an
+    identical module."""
+    return GLASS(
+        max_deg=base.max_deg,
+        hidden_channels=cfg.hidden_dim,
+        num_layers=cfg.conv_layer,
+        output_channels=(base.output_channels,),
+        pools=(cfg.pool,),
+        dropout=cfg.dropout,
+        activation="elu",
+        z_ratio=cfg.z_ratio,
+        jk=bool(cfg.jk),
+        spmm_mode=spmm_mode,
+        dtype=("bfloat16" if cfg.compute_dtype in ("bf16", "bfloat16") else None),
+    )
+
+
 def _run_one(
     cfg: ExperimentConfig,
     seed: int,
@@ -158,23 +178,10 @@ def _run_one(
         base.relabel_nodes(rcm_ordering(base.edge_index, base.n_node))
 
     binary = base.binary
-    out_ch = base.output_channels
     loss = "bce" if binary else "ce"
     score_fn = binary_f1 if binary else micro_f1
 
-    model = GLASS(
-        max_deg=base.max_deg,
-        hidden_channels=cfg.hidden_dim,
-        num_layers=cfg.conv_layer,
-        output_channels=(out_ch,),
-        pools=(cfg.pool,),
-        dropout=cfg.dropout,
-        activation="elu",
-        z_ratio=cfg.z_ratio,
-        jk=bool(cfg.jk),
-        spmm_mode=spmm_mode,
-        dtype=("bfloat16" if cfg.compute_dtype in ("bf16", "bfloat16") else None),
-    )
+    model = make_glass_model(cfg, base, spmm_mode)
     tcfg = TrainConfig(
         lr=cfg.lr,
         resi=cfg.resi,

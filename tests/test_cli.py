@@ -80,3 +80,47 @@ def test_use_nodeid_dim_mismatch_message(tmp_path):
     np.savez(tmp_path / "density_64.npz", embedding=np.zeros((10, 64), np.float32))
     with pytest.raises(FileNotFoundError, match="hidden_dim"):
         load_pretrained_table(str(tmp_path), "density", 8)
+
+
+def test_glass_predict_serving_roundtrip(tmp_path, tiny_density_root):
+    """Train with --ckpt_dir, then serve the checkpoint with glass_predict:
+    split scoring and TSV-file scoring must agree (same deterministic
+    batching), rows must cover the whole input, and the returned F1 must be
+    finite. Locks the train->checkpoint->serve file contract."""
+    from glass_tpu.cli import glass_test, glass_predict
+
+    ckpt_dir = tmp_path / "ckpt"
+    glass_test.main([
+        "--dataset", "density", "--use_one", "--use_maxzeroone",
+        "--repeat", "1", "--max_epochs", "22", "--device", "-1",
+        "--data_root", str(tiny_density_root), "--ckpt_dir", str(ckpt_dir),
+    ])
+    ckpt = ckpt_dir / "density_seed0_best.npz"
+    assert ckpt.exists()
+
+    out1 = tmp_path / "preds.tsv"
+    score = glass_predict.main([
+        "--dataset", "density", "--use_one", "--use_maxzeroone",
+        "--ckpt", str(ckpt), "--device", "-1", "--split", "test",
+        "--data_root", str(tiny_density_root), "--output", str(out1),
+        "--logits",
+    ])
+    rows = [l.split("\t") for l in out1.read_text().splitlines()]
+    assert len(rows) == 50  # 25% test split of 200 subgraphs
+    assert all(len(r) == 4 for r in rows)
+    assert np.isfinite(score) and 0.0 <= score <= 1.0
+
+    # feed the emitted node lists back in as a subgraphs TSV: predictions
+    # must be identical (deterministic batching, ids round-trip)
+    subg = tmp_path / "subg.tsv"
+    subg.write_text("\n".join(r[1] for r in rows) + "\n")
+    out2 = tmp_path / "preds2.tsv"
+    res = glass_predict.main([
+        "--dataset", "density", "--use_one", "--use_maxzeroone",
+        "--ckpt", str(ckpt), "--device", "-1", "--subgraphs", str(subg),
+        "--data_root", str(tiny_density_root), "--output", str(out2),
+    ])
+    assert res is None  # no labels -> no score
+    rows2 = [l.split("\t") for l in out2.read_text().splitlines()]
+    assert [r[2] for r in rows2] == [r[2] for r in rows]
+    assert [r[1] for r in rows2] == [r[1] for r in rows]
