@@ -18,6 +18,10 @@ Subgraph sources: a dataset split (``--split test``, default) or a TSV file
 reference's ``subgraphs.pth`` format (datasets.py:131-178), so real-world
 dataset files can be scored directly.
 
+For online serving (latency-oriented, shape-bucketed jit) use the library
+API ``glass_tpu.serve.Predictor`` instead; this CLI is the offline batch
+scorer with the experiment protocol's eval batching.
+
 Note the zero-one labeling trick makes predictions depend on batch
 composition (z is computed per batch, reference impl/SubGDataset.py:92-96):
 this driver batches deterministically in input order, so output is
