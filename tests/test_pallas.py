@@ -170,9 +170,11 @@ def test_protocol_with_pallas_spmm_trains():
     (previously crashed with NotImplementedError in pallas_call's jvp)."""
     from glass_tpu.train.protocol import ExperimentConfig, run_experiment
 
+    # batch_size 25 (not the config's 2) keeps this to ~5 interpret-mode
+    # kernel steps per epoch: the regression is "trains at all", not speed
     cfg = ExperimentConfig(
         dataset="density", pool="size", aggr="sum", hidden_dim=8,
-        conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=2,
+        conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=25,
         resi=0.9, feature="one", use_maxzeroone=True, repeat=1,
         max_epochs=2, spmm_mode="pallas",
     )
