@@ -60,11 +60,23 @@ def main():
             )
             print(f"GNN-seg {ds}: {mean:.3f} ± {err:.3f}", flush=True)
 
+    # prefer the measured reference baseline (torch oracle trained with the
+    # exact reference protocol, tools/oracle_baseline.py) over recalled
+    # paper numbers when it's been produced
+    measured = {}
+    mpath = Path(__file__).parent.parent / "BASELINE_measured.json"
+    if mpath.exists():
+        import json
+
+        measured = {k: v["mean"] for k, v in json.loads(mpath.read_text()).items()}
+
     print("\nsummary:")
     for ds, mean, err, dt in rows:
-        verdict = "beats" if mean > PAPER[ds] + 0.005 else (
-            "parity" if mean > PAPER[ds] - 0.03 else "below")
-        print(f"  {ds:10s} {mean:.3f} ± {err:.3f}  ({verdict} paper)")
+        base = measured.get(ds, PAPER[ds])
+        src = "measured" if ds in measured else "paper"
+        verdict = "beats" if mean > base + 0.005 else (
+            "parity" if mean > base - 0.03 else "below")
+        print(f"  {ds:10s} {mean:.3f} ± {err:.3f}  ({verdict} {src} {base:.3f})")
 
 
 if __name__ == "__main__":
