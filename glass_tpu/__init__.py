@@ -24,4 +24,15 @@ from glass_tpu.ops.segment import pool_subgraphs
 from glass_tpu.ops.norm import graph_norm
 from glass_tpu.ops.labeling import max_zero_one
 
+
+def __getattr__(name):
+    # lazy: serve pulls in the model/checkpoint stack, which ops-only users
+    # (and the import-time-sensitive CLIs) shouldn't pay for
+    if name == "Predictor":
+        from glass_tpu.serve import Predictor
+
+        return Predictor
+    raise AttributeError(f"module 'glass_tpu' has no attribute {name!r}")
+
+
 __version__ = "0.1.0"

@@ -567,3 +567,48 @@ def test_auto_sharding_with_pallas_matches_single_device(rng):
     for a, b in zip(jax.tree.leaves(ref[0]), jax.tree.leaves(got[0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,n,e", [(2, 300, 900), (3, 257, 700), (5, 640, 2000)])
+def test_stacked_bcsr_layouts_match_dense(rng, k, n, e):
+    """Property test of the per-shard rectangular BCSR build over awkward
+    shapes (n not a multiple of K*128, shard counts that force uneven chunk
+    padding): each shard's forward layout times the global features must
+    equal that shard's dense rows, and the transposed layout must compute
+    A_local^T exactly — via direct kernel calls, independent of shard_map."""
+    from glass_tpu.ops.pallas_spmm import bcsr_spmm
+    from glass_tpu.parallel.partition import partition_graph
+
+    src = rng.integers(0, n, size=e)
+    dst = rng.integers(0, n, size=e)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    pg = partition_graph(ei, None, n, "mean", k, materialize_bcsr=True)
+    nb = pg.block
+
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    dense = np.zeros((n, n), np.float32)
+    r, c, w = (np.asarray(a) for a in (g.row, g.col, g.weight))
+    keep = w != 0
+    np.add.at(dense, (r[keep], c[keep]), w[keep])
+
+    h = 24
+    x = rng.normal(size=(k * nb, h)).astype(np.float32)
+    x[n:] = 0.0
+    xj = jnp.asarray(x)
+
+    for s in range(k):
+        fwd = pg.bcsr.local(tuple(a[s][None] for a in pg.bcsr.tree()))
+        out = np.asarray(bcsr_spmm(fwd, xj, interpret=True))
+        lo, hi = s * nb, min((s + 1) * nb, n)
+        ref = dense[lo:hi] @ x[:n]
+        np.testing.assert_allclose(out[: hi - lo], ref, rtol=1e-4, atol=1e-4)
+        if hi - lo < nb:  # padded rows of the last shard stay zero
+            np.testing.assert_allclose(out[hi - lo:], 0.0, atol=1e-6)
+
+        bwd = pg.bcsr_t.local(tuple(a[s][None] for a in pg.bcsr_t.tree()))
+        gloc = rng.normal(size=(nb, h)).astype(np.float32)
+        out_t = np.asarray(bcsr_spmm(bwd, jnp.asarray(gloc), interpret=True))
+        a_loc = np.zeros((nb, k * nb), np.float32)
+        a_loc[: hi - lo, :n] = dense[lo:hi]
+        ref_t = a_loc.T @ gloc
+        np.testing.assert_allclose(out_t[: k * nb], ref_t, rtol=1e-4, atol=1e-4)
