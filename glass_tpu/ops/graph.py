@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 from flax import struct
@@ -342,10 +344,38 @@ def build_graph(
 # em_user scale (9M edges, windows 3-10 blocks): band per-grid-step fixed
 # cost ~1.5 us, chunked-BCSR per-step ~4 us (one CHUNK of 8 blocks per
 # step), effective DMA stream ~150 GB/s — they rank layout choices;
-# absolute values need not be exact.
+# absolute values need not be exact. For other TPU generations, fit them on
+# the actual chip with tools/autotune.py and point GLASS_TPU_AUTOTUNE at
+# the produced JSON (explicit opt-in so planning stays deterministic).
 _BAND_STEP_COST_S = 1.5e-6
 _BCSR_STEP_COST_S = 4.0e-6
 _BAND_STREAM_BPS = 150e9
+
+
+@functools.lru_cache(maxsize=1)
+def _cost_constants() -> tuple:
+    """(band_step_s, bcsr_step_s, stream_bps), overridden by the calibration
+    file named in GLASS_TPU_AUTOTUNE (written by tools/autotune.py)."""
+    import json
+    import os
+
+    path = os.environ.get("GLASS_TPU_AUTOTUNE")
+    if path:
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            return (
+                float(d["band_step_cost_s"]),
+                float(d["bcsr_step_cost_s"]),
+                float(d["stream_bps"]),
+            )
+        except (OSError, KeyError, ValueError, TypeError) as e:
+            raise ValueError(
+                f"GLASS_TPU_AUTOTUNE={path} is not a valid autotune file "
+                f"(expected keys band_step_cost_s/bcsr_step_cost_s/"
+                f"stream_bps): {e}"
+            ) from e
+    return _BAND_STEP_COST_S, _BCSR_STEP_COST_S, _BAND_STREAM_BPS
 # A hybrid split must beat the best single layout by this factor to justify
 # running two kernels (two output buffers + an add).
 _HYBRID_MARGIN = 0.9
@@ -357,15 +387,16 @@ def _bcsr_cost_model(row, col, n_node: int, itemsize: int) -> float:
     and the one placeholder chunk every empty row-block still costs."""
     from glass_tpu.ops.pallas_spmm import BLOCK as B, CHUNK
 
+    _, bcsr_step_s, stream_bps = _cost_constants()
     n_rb = -(-n_node // B)
     if row.size == 0:
-        return n_rb * _BCSR_STEP_COST_S
+        return n_rb * bcsr_step_s
     bid = (row // B) * n_rb + col // B
     urows = np.unique(bid) // n_rb
     cnt = np.bincount(urows.astype(np.int64), minlength=n_rb)
     chunks = int(np.maximum(-(-cnt // CHUNK), 1).sum())
     stored = int((-(-cnt // CHUNK) * CHUNK).sum())
-    return chunks * _BCSR_STEP_COST_S + stored * B * B * itemsize / _BAND_STREAM_BPS
+    return chunks * bcsr_step_s + stored * B * B * itemsize / stream_bps
 
 
 def _plan_block_sparse(
@@ -409,6 +440,7 @@ def _plan_block_sparse(
     if r_.size == 0:
         return "bcsr", None, None
     ones = np.ones_like(r_)
+    band_step_s, _, stream_bps = _cost_constants()
 
     bcsr_cost = _bcsr_cost_model(r_, c_, n_node, itemsize)
     best = ("bcsr", None, None)
@@ -419,7 +451,7 @@ def _plan_block_sparse(
         wb, _, nbytes, n_g = pallas_band.band_stats(r_, c_, ones, n_node, rps)
         if not pallas_band.band_vmem_ok(rps, wb, h_pad, itemsize):
             continue
-        cost = n_g * _BAND_STEP_COST_S + nbytes * (itemsize / 4) / _BAND_STREAM_BPS
+        cost = n_g * band_step_s + nbytes * (itemsize / 4) / stream_bps
         band_candidates.append((cost, rps, wb))
         if cost < best_cost:
             best, best_cost = ("band", rps, None), cost
@@ -472,9 +504,9 @@ def _plan_block_sparse(
                 if out_frac > 0.5:
                     continue  # band no longer carries the bulk: not a hybrid
                 cost = (
-                    n_g * _BAND_STEP_COST_S
+                    n_g * band_step_s
                     + n_g * rps * BCSR_BLOCK * wb * BCSR_BLOCK * itemsize
-                    / _BAND_STREAM_BPS
+                    / stream_bps
                     + out_frac * bcsr_cost
                 )
                 if hybrid_best is None or cost < hybrid_best[0]:
@@ -487,9 +519,9 @@ def _plan_block_sparse(
         _, in_band = pallas_band.plan_windows(r_, c_, ones, n_node, rps_h, wb_h)
         n_g_h = -(-(-(-n_node // BCSR_BLOCK)) // rps_h)
         exact = (
-            n_g_h * _BAND_STEP_COST_S
+            n_g_h * band_step_s
             + n_g_h * rps_h * BCSR_BLOCK * wb_h * BCSR_BLOCK * itemsize
-            / _BAND_STREAM_BPS
+            / stream_bps
             + _bcsr_cost_model(r_[~in_band], c_[~in_band], n_node, itemsize)
         )
         hybrid_best = (exact, rps_h, wb_h)

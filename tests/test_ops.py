@@ -169,3 +169,50 @@ def test_pad2batch_batch2pad_roundtrip():
     np.testing.assert_array_equal(pos, [0, 2, 3, 1, 4, 5, 6, 7])
     back = batch2pad(np.array([0, 1, 0, 0, 1, 1, 2, 2]))
     np.testing.assert_array_equal(back, [[0, 2, 3], [1, 4, 5], [6, 7, -1]])
+
+
+def test_planner_honors_autotune_file(tmp_path, monkeypatch):
+    """GLASS_TPU_AUTOTUNE overrides the layout planner's cost constants
+    (tools/autotune.py contract): constants that make band steps absurdly
+    expensive must flip a banded graph's plan to BCSR, and a malformed file
+    must fail loudly rather than silently fall back."""
+    import json
+    from glass_tpu.ops import graph as G
+
+    rng = np.random.default_rng(0)
+    # banded pattern: 32 row blocks, window 2 blocks
+    rows, cols = [], []
+    for b in range(32):
+        rows.append(b * 128 + rng.integers(0, 128, size=500))
+        c0 = max(0, min(b - 1, 30)) * 128
+        cols.append(c0 + rng.integers(0, 2 * 128, size=500))
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    w = np.ones(r.size, np.float32)
+    n = 32 * 128
+
+    monkeypatch.delenv("GLASS_TPU_AUTOTUNE", raising=False)
+    G._cost_constants.cache_clear()
+    kind0, _, _ = G._plan_block_sparse(r, c, w, n, "f32", None, "auto", True)
+    assert kind0 == "band"
+
+    p = tmp_path / "tune.json"
+    p.write_text(json.dumps({
+        "band_step_cost_s": 10.0,  # absurd: any band plan loses
+        "bcsr_step_cost_s": 1e-9,
+        "stream_bps": 1e15,
+    }))
+    monkeypatch.setenv("GLASS_TPU_AUTOTUNE", str(p))
+    G._cost_constants.cache_clear()
+    kind1, _, _ = G._plan_block_sparse(r, c, w, n, "f32", None, "auto", True)
+    assert kind1 == "bcsr"
+
+    bad = tmp_path / "bad.json"
+    bad.write_text("{}")
+    monkeypatch.setenv("GLASS_TPU_AUTOTUNE", str(bad))
+    G._cost_constants.cache_clear()
+    with pytest.raises(ValueError, match="autotune"):
+        G._plan_block_sparse(r, c, w, n, "f32", None, "auto", True)
+
+    monkeypatch.delenv("GLASS_TPU_AUTOTUNE")
+    G._cost_constants.cache_clear()
