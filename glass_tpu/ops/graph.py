@@ -155,8 +155,7 @@ def normalized_edge_weight(
     """Host-side computation of the normalized edge weights (see module doc)."""
     row, col = np.asarray(edge_index[0]), np.asarray(edge_index[1])
     w = np.asarray(edge_weight, dtype=np.float64)
-    deg = np.zeros(n_node, dtype=np.float64)
-    np.add.at(deg, row, w)
+    deg = np.bincount(row, weights=w, minlength=n_node)
     deg[deg < 0.5] += 1.0
     if aggr == "mean":
         return (w / deg[row]).astype(np.float32)
@@ -439,6 +438,13 @@ def _plan_block_sparse(
     h_pad = 128  # the common GLASS hidden sizes (<=128) pad to one lane tile
     if r_.size == 0:
         return "bcsr", None, None
+    # Sort by row ONCE: the per-rps group keys (row // BLOCK) // rps are all
+    # monotone in row, so every band_stats/_group_minmax call below hits the
+    # already-sorted fast path instead of argsorting 2E edges per rps (the
+    # transposed-direction call otherwise pays ~1 s per rps at 9M edges).
+    if np.any(np.diff(r_) < 0):
+        order = np.argsort(r_, kind="stable")
+        r_, c_ = r_[order], c_[order]
     ones = np.ones_like(r_)
     band_step_s, _, stream_bps = _cost_constants()
 
@@ -463,14 +469,15 @@ def _plan_block_sparse(
     hybrid_best = None  # (cost, rps, w)
     if pat_sym:
         n_cb = -(-n_node // BCSR_BLOCK)
+        # one O(E) block histogram serves every rps candidate below
+        counts_rb = pallas_band.block_histogram(
+            r_, c_, np.ones_like(r_, dtype=bool), n_node
+        )
         for rps in (1, 2, 4, 8):
             n_g = -(-n_cb // rps)
             g = (r_ // BCSR_BLOCK) // rps
-            lo = np.full(n_g, n_cb, dtype=np.int64)
-            hi = np.zeros(n_g, dtype=np.int64)
             cb = c_ // BCSR_BLOCK
-            np.minimum.at(lo, g, cb)
-            np.maximum.at(hi, g, cb + 1)
+            lo, hi = pallas_band._group_minmax(g, cb, n_g, n_cb)
             widths = np.maximum(hi - lo, 1)[hi > 0]  # nonempty groups only
             if widths.size == 0:
                 continue
@@ -490,13 +497,11 @@ def _plan_block_sparse(
                      and pallas_band.band_vmem_ok(rps, wb, h_pad, itemsize)]
             if not cands:
                 continue
-            # one O(E) histogram per rps; each width is scored from its
-            # cumsum in O(n_g * n_cb) (the exact residue's BCSR cost needs
-            # the split mask, so approximate it by scaling the whole-graph
-            # BCSR cost with the out-of-window edge fraction)
-            cs = pallas_band.window_histogram(
-                r_, c_, np.ones_like(r_, dtype=bool), n_node, rps
-            )
+            # each width is scored from the aggregated cumsum in
+            # O(n_g * n_cb) (the exact residue's BCSR cost needs the split
+            # mask, so approximate it by scaling the whole-graph BCSR cost
+            # with the out-of-window edge fraction)
+            cs = pallas_band.window_histogram_from_blocks(counts_rb, rps)
             n_keep = r_.size
             for wb in cands:
                 _, covered = pallas_band.best_windows(cs, wb)
@@ -542,6 +547,5 @@ def degrees(edge_index: np.ndarray, edge_weight: Optional[np.ndarray], n_node: i
     row = np.asarray(edge_index[0])
     if edge_weight is None:
         edge_weight = np.ones(row.shape[0], dtype=np.float64)
-    deg = np.zeros(n_node, dtype=np.float64)
-    np.add.at(deg, row, np.asarray(edge_weight, dtype=np.float64))
-    return deg
+    return np.bincount(row, weights=np.asarray(edge_weight, dtype=np.float64),
+                       minlength=n_node)

@@ -79,6 +79,26 @@ class BandedAdj:
         return int(self.slabs.shape[0])
 
 
+def _group_minmax(g, v, n_g: int, v_default_lo: int):
+    """Per-group (min, max+1) of ``v`` grouped by ``g`` — the vectorized
+    replacement for np.minimum.at/np.maximum.at, which run a Python-level
+    loop (~1.4 s per call at 9M edges). Exploits that ``g`` derived from
+    row-sorted COO is already non-decreasing; sorts only if it is not.
+    Absent groups get (v_default_lo, 0)."""
+    lo = np.full(n_g, v_default_lo, dtype=np.int64)
+    hi = np.zeros(n_g, dtype=np.int64)
+    if g.size == 0:
+        return lo, hi
+    if np.any(np.diff(g) < 0):
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+    first = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    present = g[first]
+    lo[present] = np.minimum.reduceat(v, first)
+    hi[present] = np.maximum.reduceat(v, first) + 1
+    return lo, hi
+
+
 def band_stats(row, col, weight, n_node: int, rps: int):
     """Host-side window statistics for the banded layout (cheap: no slab
     materialization). Returns (w_blocks, clo, slab_bytes_f32, n_groups)."""
@@ -90,11 +110,8 @@ def band_stats(row, col, weight, n_node: int, rps: int):
     n_cb = n_rb
     n_g = -(-n_rb // rps)
     g = (row // BLOCK) // rps
-    lo = np.full(n_g, n_cb, dtype=np.int64)
-    hi = np.full(n_g, 0, dtype=np.int64)
     cb = col // BLOCK
-    np.minimum.at(lo, g, cb)
-    np.maximum.at(hi, g, cb + 1)
+    lo, hi = _group_minmax(g, cb, n_g, n_cb)
     width = np.maximum(hi - lo, 1)
     w = int(width.max()) if width.size else 1
     w = min(w, n_cb)
@@ -129,18 +146,35 @@ def plan_windows(row, col, weight, n_node: int, rps: int, w: int):
     return clo, in_band
 
 
+def block_histogram(row, col, keep, n_node: int):
+    """Raw per-(row-block, column-block) edge counts, (n_rb, n_cb+1) int64
+    with column b counted at index b+1 (cumsum-ready). Computed ONCE with a
+    flat bincount; coarser rps groupings aggregate it with
+    ``window_histogram_from_blocks`` instead of re-binning all E edges."""
+    n_cb = -(-n_node // BLOCK)
+    n_rb = n_cb
+    flat = (row[keep] // BLOCK) * (n_cb + 1) + col[keep] // BLOCK + 1
+    return np.bincount(flat, minlength=n_rb * (n_cb + 1)).reshape(
+        n_rb, n_cb + 1
+    )
+
+
+def window_histogram_from_blocks(counts_rb: np.ndarray, rps: int):
+    """Cumulative (n_g, n_cb+1) histogram for row-block groups of ``rps``,
+    aggregated from ``block_histogram`` output in O(n_rb * n_cb)."""
+    n_rb = counts_rb.shape[0]
+    agg = np.add.reduceat(counts_rb, np.arange(0, n_rb, rps), axis=0)
+    return np.cumsum(agg, axis=1)
+
+
 def window_histogram(row, col, keep, n_node: int, rps: int):
     """Cumulative per-(group, column-block) edge histogram: (n_g, n_cb+1)
     int64 with ``cs[g, b+1] - cs[g, a]`` = edges of group g in column blocks
-    [a, b]. Computed once per rps; every candidate window width is then
-    scored from it in O(n_g * n_cb) (the planner's inner loop)."""
-    n_cb = -(-n_node // BLOCK)
-    n_g = -(-n_cb // rps)
-    g = (row // BLOCK) // rps
-    cb = col // BLOCK
-    counts = np.zeros((n_g, n_cb + 1), dtype=np.int64)
-    np.add.at(counts, (g[keep], cb[keep] + 1), 1)
-    return np.cumsum(counts, axis=1)
+    [a, b]. Every candidate window width is then scored from it in
+    O(n_g * n_cb) (the planner's inner loop)."""
+    return window_histogram_from_blocks(
+        block_histogram(row, col, keep, n_node), rps
+    )
 
 
 def best_windows(cs, w: int):
@@ -191,11 +225,16 @@ def build_band_arrays(row, col, weight, n_node: int, rps: int = 8, dtype="float3
     else:
         w, clo, _, n_g = band_stats(row, col, np.ones_like(row), n_node, rps)
     n_rb = -(-n_node // BLOCK)
-    slabs = np.zeros((n_g, rps * BLOCK, w * BLOCK), dtype=np.float64)
     g = (row // BLOCK) // rps
     lr = row - g * (rps * BLOCK)
     lc = col - clo[g].astype(np.int64) * BLOCK
-    np.add.at(slabs, (g, lr, lc), weight)  # duplicate edges accumulate (COO)
+    # flat bincount instead of np.add.at (a Python-level loop; ~4 s at 9M
+    # edges); duplicate edges accumulate either way (COO semantics)
+    size = n_g * (rps * BLOCK) * (w * BLOCK)
+    flat = (g * (rps * BLOCK) + lr) * (w * BLOCK) + lc
+    slabs = np.bincount(flat, weights=weight, minlength=size).reshape(
+        n_g, rps * BLOCK, w * BLOCK
+    )
     slabs = slabs.astype(
         jnp.bfloat16 if dtype in ("bfloat16", "bf16") else np.float32
     )

@@ -166,9 +166,8 @@ def build_bcsr_arrays(
     # and lies within one row — the kernel's inner loop needs no per-block
     # predication (zero blocks contribute exactly 0). Storage/traffic cost
     # <= (CHUNK-1) blocks per nonempty row.
-    counts = np.zeros(n_rb, dtype=np.int64)
     urows = (uniq // n_cb).astype(np.int64)
-    np.add.at(counts, urows, 1)
+    counts = np.bincount(urows, minlength=n_rb)
     padded_counts = -(-counts // CHUNK) * CHUNK  # 0 stays 0
     # >= CHUNK so the empty-row chunks' blocks[0:CHUNK] DMA stays in bounds
     nnz_b = max(int(padded_counts.sum()), CHUNK)
@@ -185,20 +184,29 @@ def build_bcsr_arrays(
     # (128, CHUNK*128) @ (CHUNK*128, H) MXU matmul per chunk — canonical
     # matmul shape with pipelined weight loads — instead of CHUNK small dots.
     n_store = nnz_b // CHUNK
-    blocks = np.zeros((n_store, BLOCK, CHUNK * BLOCK), dtype=np.float32)
-    for k in range(uniq.shape[0]):
-        sel = slice(int(start[k]), int(ends[k]))
-        d = int(dst[k])
-        np.add.at(
-            blocks[d // CHUNK],
-            (row[sel] % BLOCK, (d % CHUNK) * BLOCK + col[sel] % BLOCK),
-            weight[sel].astype(np.float64),
-        )
+    # vectorized packing: edges are sorted by bid, so each edge's destination
+    # slot is its block's dst repeated over the block's run — one flat
+    # bincount replaces the former per-block np.add.at loop (~5.5 s at 9M
+    # edges); duplicate edges accumulate either way (COO semantics)
+    e_dst = np.repeat(dst, ends - start)
+    flat = (
+        (e_dst // CHUNK) * (BLOCK * CHUNK * BLOCK)
+        + (row % BLOCK) * (CHUNK * BLOCK)
+        + (e_dst % CHUNK) * BLOCK
+        + col % BLOCK
+    )
+    blocks = (
+        np.bincount(flat, weights=weight,
+                    minlength=n_store * BLOCK * CHUNK * BLOCK)
+        .reshape(n_store, BLOCK, CHUNK * BLOCK)
+        .astype(np.float32)
+    )
     block_col = np.zeros(nnz_b, dtype=np.int32)
     block_col[dst] = (uniq % n_cb).astype(np.int32)
     cstart, clen, crow, cfirst, clast = _build_chunks(ptr, n_rb)
 
-    blocks = blocks.astype(jnp.bfloat16 if dtype in ("bfloat16", "bf16") else np.float32)
+    if dtype in ("bfloat16", "bf16"):
+        blocks = blocks.astype(jnp.bfloat16)
     return dict(
         blocks=blocks,
         block_col=block_col,
