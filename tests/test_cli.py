@@ -124,3 +124,39 @@ def test_glass_predict_serving_roundtrip(tmp_path, tiny_density_root):
     rows2 = [l.split("\t") for l in out2.read_text().splitlines()]
     assert [r[2] for r in rows2] == [r[2] for r in rows]
     assert [r[1] for r in rows2] == [r[1] for r in rows]
+
+
+def test_glass_predict_multilabel(tmp_path):
+    """Multilabel serving: predictions are per-task bit rows and the split
+    scorer uses binary_f1 (hpo_neuro-style labels, reference
+    datasets.py:207-212 k-hot conversion)."""
+    from test_protocol_real import write_dataset
+    from glass_tpu.cli import glass_test, glass_predict
+
+    write_dataset(tmp_path, "hpo_neuro", multilabel=True)
+    cfg_dir = tmp_path / "cfg"
+    cfg_dir.mkdir()
+    (cfg_dir / "hpo_neuro.yml").write_text(yaml.safe_dump(dict(
+        pool="sum", aggr="mean", hidden_dim=8, conv_layer=1, dropout=0.0,
+        lr=1e-2, z_ratio=0.9, batch_size=3, resi=0.7,
+    )))
+    ckpt_dir = tmp_path / "ckpt"
+    glass_test.main([
+        "--dataset", "hpo_neuro", "--use_deg", "--use_maxzeroone",
+        "--repeat", "1", "--max_epochs", "60", "--device", "-1",
+        "--data_root", str(tmp_path), "--config_dir", str(cfg_dir),
+        "--ckpt_dir", str(ckpt_dir),
+    ])
+    out = tmp_path / "preds.tsv"
+    score = glass_predict.main([
+        "--dataset", "hpo_neuro", "--use_deg", "--use_maxzeroone",
+        "--ckpt", str(ckpt_dir / "hpo_neuro_seed0_best.npz"),
+        "--device", "-1", "--split", "test", "--data_root", str(tmp_path),
+        "--config_dir", str(cfg_dir), "--output", str(out),
+    ])
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    assert rows, "no predictions emitted"
+    # 3 classes (A, B, C) -> 3 comma-separated bits per row
+    assert all(len(r[2].split(",")) == 3 for r in rows)
+    assert all(set(r[2].split(",")) <= {"0", "1"} for r in rows)
+    assert np.isfinite(score)
