@@ -612,3 +612,41 @@ def test_stacked_bcsr_layouts_match_dense(rng, k, n, e):
         a_loc[: hi - lo, :n] = dense[lo:hi]
         ref_t = a_loc.T @ gloc
         np.testing.assert_allclose(out_t[: k * nb], ref_t, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_pallas_bf16_blocks(rng):
+    """partition_graph(dense_dtype='bf16') materializes bf16 per-shard BCSR
+    layouts (the --dense_dtype bf16 sharded fast path); results within bf16
+    rounding of the unsharded dense path."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ei, n = toy(rng)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    ref = np.asarray(spmm(g, jnp.asarray(x), "dense"))
+
+    K = 4
+    pg = partition_graph(ei, None, n, "mean", K, materialize_bcsr=True,
+                         dense_dtype="bf16")
+    assert pg.bcsr.blocks.dtype == jnp.bfloat16
+    mesh = make_mesh(graph_shards=K, data_shards=2)
+    xp = pg.pad_nodes(x)
+
+    def body(x_loc, *gargs):
+        graph = pg.local_graph(*gargs[:3], None, "graph", *gargs[3:6])
+        graph = graph.replace(bcsr=pg.bcsr.local(gargs[6:13]),
+                              bcsr_t=pg.bcsr_t.local(gargs[13:20]))
+        return spmm(graph, x_loc, "pallas")
+
+    gargs = [jnp.asarray(pg.row), jnp.asarray(pg.col), jnp.asarray(pg.weight),
+             jnp.asarray(pg.loc_row), jnp.asarray(pg.loc_col),
+             jnp.asarray(pg.loc_weight)]
+    gspecs = [P("graph", None)] * 6
+    gargs += list(pg.bcsr.tree()) + list(pg.bcsr_t.tree())
+    gspecs += list(pg.bcsr.specs("graph")) + list(pg.bcsr_t.specs("graph"))
+    out = shard_map(
+        body, mesh=mesh, in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None), check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=0.05, atol=0.05)
