@@ -52,6 +52,15 @@ def _load() -> Optional[ctypes.CDLL]:
                 _I64, _I64, ctypes.c_int64, ctypes.c_int64, _I64,
                 ctypes.c_int64, ctypes.c_int64, _F32,
             ]
+            # older prebuilt libs may lack newer entry points — probe
+            try:
+                lib.glass_band_fill.restype = ctypes.c_int
+                lib.glass_band_fill.argtypes = [
+                    _I64, _I64, _F64, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int64, _I32, ctypes.c_int64, _F32,
+                ]
+            except AttributeError:
+                pass
             _LIB = lib
             break
     return _LIB
@@ -151,4 +160,32 @@ def induced_subgraph_adj(
     )
     if rc != 0:
         raise RuntimeError(f"glass_induced_subgraphs failed with {rc}")
+    return out
+
+
+def band_fill(
+    row: np.ndarray,
+    col: np.ndarray,
+    weight: np.ndarray,
+    rps: int,
+    w_blocks: int,
+    clo: np.ndarray,
+    n_g: int,
+) -> Optional[np.ndarray]:
+    """Native banded-slab fill: (n_g, rps*128, w_blocks*128) f32 slabs with
+    f64 accumulation (matching the numpy builder), or None if the lib is
+    unbuilt. ~10x the numpy bincount path at 9M edges (no flat-index
+    temporaries, one sequential pass)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "glass_band_fill"):
+        return None
+    row = np.ascontiguousarray(row, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    weight = np.ascontiguousarray(weight, dtype=np.float64)
+    clo = np.ascontiguousarray(clo, dtype=np.int32)
+    out = np.empty((n_g, rps * 128, w_blocks * 128), dtype=np.float32)
+    rc = lib.glass_band_fill(row, col, weight, row.shape[0], rps, w_blocks,
+                             clo, n_g, out.reshape(-1))
+    if rc != 0:
+        raise RuntimeError(f"glass_band_fill failed with {rc}")
     return out

@@ -225,19 +225,22 @@ def build_band_arrays(row, col, weight, n_node: int, rps: int = 8, dtype="float3
     else:
         w, clo, _, n_g = band_stats(row, col, np.ones_like(row), n_node, rps)
     n_rb = -(-n_node // BLOCK)
-    g = (row // BLOCK) // rps
-    lr = row - g * (rps * BLOCK)
-    lc = col - clo[g].astype(np.int64) * BLOCK
-    # flat bincount instead of np.add.at (a Python-level loop; ~4 s at 9M
-    # edges); duplicate edges accumulate either way (COO semantics)
-    size = n_g * (rps * BLOCK) * (w * BLOCK)
-    flat = (g * (rps * BLOCK) + lr) * (w * BLOCK) + lc
-    slabs = np.bincount(flat, weights=weight, minlength=size).reshape(
-        n_g, rps * BLOCK, w * BLOCK
-    )
-    slabs = slabs.astype(
-        jnp.bfloat16 if dtype in ("bfloat16", "bf16") else np.float32
-    )
+    from glass_tpu.native import band_fill
+
+    slabs = band_fill(row, col, weight, rps, w, clo, n_g)
+    if slabs is None:
+        # numpy fallback: flat bincount (duplicate edges accumulate either
+        # way — COO semantics; both paths accumulate in f64 then cast)
+        g = (row // BLOCK) // rps
+        lr = row - g * (rps * BLOCK)
+        lc = col - clo[g].astype(np.int64) * BLOCK
+        size = n_g * (rps * BLOCK) * (w * BLOCK)
+        flat = (g * (rps * BLOCK) + lr) * (w * BLOCK) + lc
+        slabs = np.bincount(flat, weights=weight, minlength=size).reshape(
+            n_g, rps * BLOCK, w * BLOCK
+        ).astype(np.float32)
+    if dtype in ("bfloat16", "bf16"):
+        slabs = slabs.astype(jnp.bfloat16)
     return dict(slabs=slabs, clo=clo, n_rb=n_rb, w_blocks=w)
 
 

@@ -176,4 +176,29 @@ int glass_induced_subgraphs(const int64_t* row, const int64_t* col, int64_t e,
   return 0;
 }
 
+// Banded-slab fill for the Pallas band layout (ops/pallas_band.py):
+// out[g, row - g*rps*128, col - clo[g]*128] += w, accumulated in double
+// (matching the numpy builder's f64 bincount) and written as f32. Inputs
+// are the nonzero-weight COO arrays; the caller sizes out as
+// n_g * (rps*128) * (wb*128) floats. One sequential pass => deterministic.
+int glass_band_fill(const int64_t* row, const int64_t* col, const double* w,
+                    int64_t e, int64_t rps, int64_t wb, const int32_t* clo,
+                    int64_t n_g, float* out) {
+  const int64_t rows_per_g = rps * 128;
+  const int64_t slab_cols = wb * 128;
+  const int64_t slab_sz = rows_per_g * slab_cols;
+  std::vector<double> acc(static_cast<size_t>(n_g) * slab_sz, 0.0);
+  for (int64_t i = 0; i < e; ++i) {
+    const int64_t g = (row[i] / 128) / rps;
+    if (g < 0 || g >= n_g) return 1;
+    const int64_t lr = row[i] - g * rows_per_g;
+    const int64_t lc = col[i] - static_cast<int64_t>(clo[g]) * 128;
+    if (lr < 0 || lr >= rows_per_g || lc < 0 || lc >= slab_cols) return 1;
+    acc[g * slab_sz + lr * slab_cols + lc] += w[i];
+  }
+  const int64_t total = n_g * slab_sz;
+  for (int64_t i = 0; i < total; ++i) out[i] = static_cast<float>(acc[i]);
+  return 0;
+}
+
 }  // extern "C"

@@ -88,3 +88,43 @@ def test_graph_build_native_equals_python(rng):
     np.testing.assert_array_equal(np.asarray(g1.row), np.asarray(g2.row))
     np.testing.assert_array_equal(np.asarray(g1.col), np.asarray(g2.col))
     np.testing.assert_allclose(np.asarray(g1.weight), np.asarray(g2.weight), rtol=1e-6)
+
+
+def test_band_fill_matches_numpy():
+    """Native glass_band_fill == the numpy bincount slab fill (both
+    accumulate in f64, sequential order -> identical f32 output)."""
+    from glass_tpu import native
+    from glass_tpu.ops.pallas_band import BLOCK
+
+    if not native.is_available():
+        import pytest
+
+        pytest.skip("native lib unbuilt")
+    rng = np.random.default_rng(0)
+    n_g, rps, wb = 3, 2, 2
+    e = 5000
+    row = rng.integers(0, n_g * rps * BLOCK, size=e)
+    clo = rng.integers(0, 3, size=n_g).astype(np.int32)
+    g = (row // BLOCK) // rps
+    col = clo[g] * BLOCK + rng.integers(0, wb * BLOCK, size=e)
+    w = rng.normal(size=e)
+
+    out = native.band_fill(row, col, w, rps, wb, clo, n_g)
+    assert out is not None and out.shape == (n_g, rps * BLOCK, wb * BLOCK)
+
+    lr = row - g * (rps * BLOCK)
+    lc = col - clo[g].astype(np.int64) * BLOCK
+    size = n_g * (rps * BLOCK) * (wb * BLOCK)
+    flat = (g * (rps * BLOCK) + lr) * (wb * BLOCK) + lc
+    ref = np.bincount(flat, weights=w, minlength=size).reshape(
+        n_g, rps * BLOCK, wb * BLOCK
+    ).astype(np.float32)
+    np.testing.assert_array_equal(out, ref)
+
+    # out-of-window edge -> error, not silent corruption
+    bad_col = col.copy()
+    bad_col[0] = clo[g[0]] * BLOCK + wb * BLOCK  # one past the window
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        native.band_fill(row, bad_col, w, rps, wb, clo, n_g)
