@@ -59,6 +59,11 @@ def _load() -> Optional[ctypes.CDLL]:
                     _I64, _I64, _F64, ctypes.c_int64, ctypes.c_int64,
                     ctypes.c_int64, _I32, ctypes.c_int64, _F32,
                 ]
+                lib.glass_bcsr_fill.restype = ctypes.c_int
+                lib.glass_bcsr_fill.argtypes = [
+                    _I64, _I64, _F64, _I64, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int64, _F32,
+                ]
             except AttributeError:
                 pass
             _LIB = lib
@@ -188,4 +193,30 @@ def band_fill(
                              clo, n_g, out.reshape(-1))
     if rc != 0:
         raise RuntimeError(f"glass_band_fill failed with {rc}")
+    return out
+
+
+def bcsr_fill(
+    row: np.ndarray,
+    col: np.ndarray,
+    weight: np.ndarray,
+    e_dst: np.ndarray,
+    chunk: int,
+    n_store: int,
+) -> Optional[np.ndarray]:
+    """Native wide-chunk BCSR block fill: (n_store, 128, chunk*128) f32 with
+    f64 accumulation (matching the numpy bincount path), or None if the lib
+    is unbuilt."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "glass_bcsr_fill"):
+        return None
+    row = np.ascontiguousarray(row, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    weight = np.ascontiguousarray(weight, dtype=np.float64)
+    e_dst = np.ascontiguousarray(e_dst, dtype=np.int64)
+    out = np.empty((n_store, 128, chunk * 128), dtype=np.float32)
+    rc = lib.glass_bcsr_fill(row, col, weight, e_dst, row.shape[0], chunk,
+                             n_store, out.reshape(-1))
+    if rc != 0:
+        raise RuntimeError(f"glass_bcsr_fill failed with {rc}")
     return out

@@ -185,22 +185,26 @@ def build_bcsr_arrays(
     # matmul shape with pipelined weight loads — instead of CHUNK small dots.
     n_store = nnz_b // CHUNK
     # vectorized packing: edges are sorted by bid, so each edge's destination
-    # slot is its block's dst repeated over the block's run — one flat
-    # bincount replaces the former per-block np.add.at loop (~5.5 s at 9M
-    # edges); duplicate edges accumulate either way (COO semantics)
+    # slot is its block's dst repeated over the block's run. Native one-pass
+    # fill when the lib is built; flat-bincount fallback otherwise (both
+    # accumulate f64 — duplicate edges add up, COO semantics).
     e_dst = np.repeat(dst, ends - start)
-    flat = (
-        (e_dst // CHUNK) * (BLOCK * CHUNK * BLOCK)
-        + (row % BLOCK) * (CHUNK * BLOCK)
-        + (e_dst % CHUNK) * BLOCK
-        + col % BLOCK
-    )
-    blocks = (
-        np.bincount(flat, weights=weight,
-                    minlength=n_store * BLOCK * CHUNK * BLOCK)
-        .reshape(n_store, BLOCK, CHUNK * BLOCK)
-        .astype(np.float32)
-    )
+    from glass_tpu.native import bcsr_fill
+
+    blocks = bcsr_fill(row, col, weight, e_dst, CHUNK, n_store)
+    if blocks is None:
+        flat = (
+            (e_dst // CHUNK) * (BLOCK * CHUNK * BLOCK)
+            + (row % BLOCK) * (CHUNK * BLOCK)
+            + (e_dst % CHUNK) * BLOCK
+            + col % BLOCK
+        )
+        blocks = (
+            np.bincount(flat, weights=weight,
+                        minlength=n_store * BLOCK * CHUNK * BLOCK)
+            .reshape(n_store, BLOCK, CHUNK * BLOCK)
+            .astype(np.float32)
+        )
     block_col = np.zeros(nnz_b, dtype=np.int32)
     block_col[dst] = (uniq % n_cb).astype(np.int32)
     cstart, clen, crow, cfirst, clast = _build_chunks(ptr, n_rb)

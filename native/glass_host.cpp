@@ -201,4 +201,25 @@ int glass_band_fill(const int64_t* row, const int64_t* col, const double* w,
   return 0;
 }
 
+// Wide-chunk BCSR block fill (ops/pallas_spmm.py): each edge lands in its
+// block's destination slot e_dst[i] (caller-computed, sorted-by-block
+// order): out[e_dst/chunk][row%128][(e_dst%chunk)*128 + col%128] += w.
+// f64 accumulation, f32 output — bit-matching the numpy bincount fallback.
+int glass_bcsr_fill(const int64_t* row, const int64_t* col, const double* w,
+                    const int64_t* e_dst, int64_t e, int64_t chunk,
+                    int64_t n_store, float* out) {
+  const int64_t store_cols = chunk * 128;
+  const int64_t store_sz = 128 * store_cols;
+  std::vector<double> acc(static_cast<size_t>(n_store) * store_sz, 0.0);
+  for (int64_t i = 0; i < e; ++i) {
+    const int64_t st = e_dst[i] / chunk;
+    if (st < 0 || st >= n_store) return 1;
+    acc[st * store_sz + (row[i] % 128) * store_cols
+        + (e_dst[i] % chunk) * 128 + (col[i] % 128)] += w[i];
+  }
+  const int64_t total = n_store * store_sz;
+  for (int64_t i = 0; i < total; ++i) out[i] = static_cast<float>(acc[i]);
+  return 0;
+}
+
 }  // extern "C"

@@ -128,3 +128,30 @@ def test_band_fill_matches_numpy():
 
     with pytest.raises(RuntimeError):
         native.band_fill(row, bad_col, w, rps, wb, clo, n_g)
+
+
+def test_bcsr_fill_matches_numpy():
+    """Native glass_bcsr_fill == the numpy bincount wide-chunk fill."""
+    from glass_tpu import native
+
+    if not native.is_available():
+        import pytest
+
+        pytest.skip("native lib unbuilt")
+    rng = np.random.default_rng(1)
+    CHUNK, B = 8, 128
+    n_store = 4
+    e = 4000
+    e_dst = rng.integers(0, n_store * CHUNK, size=e)
+    row = rng.integers(0, 10 * B, size=e)
+    col = rng.integers(0, 10 * B, size=e)
+    w = rng.normal(size=e)
+
+    out = native.bcsr_fill(row, col, w, e_dst, CHUNK, n_store)
+    assert out is not None and out.shape == (n_store, B, CHUNK * B)
+
+    flat = ((e_dst // CHUNK) * (B * CHUNK * B) + (row % B) * (CHUNK * B)
+            + (e_dst % CHUNK) * B + col % B)
+    ref = np.bincount(flat, weights=w, minlength=n_store * B * CHUNK * B)\
+        .reshape(n_store, B, CHUNK * B).astype(np.float32)
+    np.testing.assert_array_equal(out, ref)
