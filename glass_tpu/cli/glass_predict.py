@@ -164,12 +164,11 @@ def main(argv=None):
     y = None
     if args.subgraphs is not None:
         pos = read_subgraphs_file(args.subgraphs, base.n_node, base.pos.shape[1])
-        if perm is None:
-            inv = None
-        else:  # TSV ids are original ids — map into the relabeled space
-            inv = np.empty(base.n_node, dtype=np.int64)
-            inv[perm] = np.arange(base.n_node)
-            pos = np.where(pos >= 0, inv[np.clip(pos, 0, None)], -1)
+        if perm is not None:  # TSV ids are original ids — map into the
+            # relabeled space with the same helper relabel_nodes uses
+            from glass_tpu.data.basegraph import relabel_pos
+
+            pos = relabel_pos(pos, perm, base.n_node)
     else:
         pos, y = base.get_split(args.split)  # already relabeled with the graph
         y = y.astype(np.float32 if base.binary else np.int64)

@@ -35,6 +35,17 @@ def is_undirected(edge_index: np.ndarray) -> bool:
     return all((c, r) in fwd for r, c in edge_index.T.tolist())
 
 
+
+
+def relabel_pos(pos: np.ndarray, perm: np.ndarray, n_node: int) -> np.ndarray:
+    """Maps a padded subgraph matrix (pad=-1) into the relabeled node space
+    of ``relabel_nodes`` (perm[i] = old id at new position i). Shared with
+    the inference CLI so serving and dataset paths cannot diverge."""
+    inv = np.empty(n_node, dtype=np.int64)
+    inv[perm] = np.arange(n_node)
+    return np.where(pos >= 0, inv[np.clip(pos, 0, n_node - 1)], -1)
+
+
 @dataclasses.dataclass
 class BaseGraphData:
     """x: (N, C) int node features (C=1); edge_index: (2, E) undirected;
@@ -101,7 +112,7 @@ class BaseGraphData:
         inv = np.empty(n, dtype=np.int64)
         inv[perm] = np.arange(n)
         self.edge_index = inv[self.edge_index]
-        self.pos = np.where(self.pos >= 0, inv[np.clip(self.pos, 0, n - 1)], -1)
+        self.pos = relabel_pos(self.pos, perm, n)
         self.x = self.x[perm]
 
     # -------------------------------------------------------------- splits

@@ -351,30 +351,38 @@ _BCSR_STEP_COST_S = 4.0e-6
 _BAND_STREAM_BPS = 150e9
 
 
-@functools.lru_cache(maxsize=1)
 def _cost_constants() -> tuple:
     """(band_step_s, bcsr_step_s, stream_bps), overridden by the calibration
-    file named in GLASS_TPU_AUTOTUNE (written by tools/autotune.py)."""
-    import json
+    file named in GLASS_TPU_AUTOTUNE (written by tools/autotune.py). The env
+    var is read per call (cheap) and the file parse is cached per path, so
+    setting/changing the variable mid-process takes effect on the next
+    plan."""
     import os
 
     path = os.environ.get("GLASS_TPU_AUTOTUNE")
     if path:
-        try:
-            with open(path) as f:
-                d = json.load(f)
-            return (
-                float(d["band_step_cost_s"]),
-                float(d["bcsr_step_cost_s"]),
-                float(d["stream_bps"]),
-            )
-        except (OSError, KeyError, ValueError, TypeError) as e:
-            raise ValueError(
-                f"GLASS_TPU_AUTOTUNE={path} is not a valid autotune file "
-                f"(expected keys band_step_cost_s/bcsr_step_cost_s/"
-                f"stream_bps): {e}"
-            ) from e
+        return _load_cost_file(path)
     return _BAND_STEP_COST_S, _BCSR_STEP_COST_S, _BAND_STREAM_BPS
+
+
+@functools.lru_cache(maxsize=8)
+def _load_cost_file(path: str) -> tuple:
+    import json
+
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return (
+            float(d["band_step_cost_s"]),
+            float(d["bcsr_step_cost_s"]),
+            float(d["stream_bps"]),
+        )
+    except (OSError, KeyError, ValueError, TypeError) as e:
+        raise ValueError(
+            f"GLASS_TPU_AUTOTUNE={path} is not a valid autotune file "
+            f"(expected keys band_step_cost_s/bcsr_step_cost_s/"
+            f"stream_bps): {e}"
+        ) from e
 # A hybrid split must beat the best single layout by this factor to justify
 # running two kernels (two output buffers + an add).
 _HYBRID_MARGIN = 0.9

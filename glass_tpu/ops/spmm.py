@@ -173,6 +173,13 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
         # sharded: each shard runs the kernel over its local (rows-local,
         # cols-global) BCSR layout on the gathered features; AD of the
         # all_gather reduce-scatters dx back to the shards
+        if graph.bcsr is None:
+            # the host-side layout cache cannot run on shard_map tracers —
+            # fail with the fix, not a TracerArrayConversionError
+            raise ValueError(
+                "sharded --spmm pallas needs per-shard BCSR layouts: build "
+                "with partition_graph(..., materialize_bcsr=True)"
+            )
         from glass_tpu.ops.pallas_spmm import spmm_pallas
 
         return spmm_pallas(graph, gather_global(graph, x))

@@ -388,7 +388,8 @@ def _run_one(
             save_state(i)
         if early_stop > stop_after:
             break
-    save_state(i)  # final state, whatever the cadence
+    if (i + 1) % cfg.ckpt_every != 0:  # final state, unless just saved
+        save_state(i)
     log(
         f"end: epoch {i + 1}, train time {time.time() - t0:.2f} s, "
         f"val {val_score:.3f}, tst {tst_best:.3f}"

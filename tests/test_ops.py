@@ -192,7 +192,6 @@ def test_planner_honors_autotune_file(tmp_path, monkeypatch):
     n = 32 * 128
 
     monkeypatch.delenv("GLASS_TPU_AUTOTUNE", raising=False)
-    G._cost_constants.cache_clear()
     kind0, _, _ = G._plan_block_sparse(r, c, w, n, "f32", None, "auto", True)
     assert kind0 == "band"
 
@@ -202,17 +201,16 @@ def test_planner_honors_autotune_file(tmp_path, monkeypatch):
         "bcsr_step_cost_s": 1e-9,
         "stream_bps": 1e15,
     }))
+    # env read is live (no process-wide cache): setting the variable after
+    # earlier plans must take effect on the next plan
     monkeypatch.setenv("GLASS_TPU_AUTOTUNE", str(p))
-    G._cost_constants.cache_clear()
     kind1, _, _ = G._plan_block_sparse(r, c, w, n, "f32", None, "auto", True)
     assert kind1 == "bcsr"
 
     bad = tmp_path / "bad.json"
     bad.write_text("{}")
     monkeypatch.setenv("GLASS_TPU_AUTOTUNE", str(bad))
-    G._cost_constants.cache_clear()
     with pytest.raises(ValueError, match="autotune"):
         G._plan_block_sparse(r, c, w, n, "f32", None, "auto", True)
 
     monkeypatch.delenv("GLASS_TPU_AUTOTUNE")
-    G._cost_constants.cache_clear()

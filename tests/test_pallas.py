@@ -199,7 +199,9 @@ def test_spmm_modes_differential_fuzz(shape):
     every forced block-sparse layout must agree on graphs with awkward
     structure (self-loops, isolated nodes / empty rows, duplicate edges that
     accumulate, asymmetric patterns) — forward AND input gradient."""
-    rng = np.random.default_rng(hash(shape) % 2**32)
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(shape.encode()))
     n = 300
     if shape == "banded":
         src = np.arange(n)

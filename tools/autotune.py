@@ -131,8 +131,25 @@ def main():
 
     a = np.stack([np.asarray(steps_m, float), np.asarray(bytes_m, float)], 1)
     coef, *_ = np.linalg.lstsq(a, np.asarray(times_m), rcond=None)
-    band_step_s = max(float(coef[0]), 1e-8)
-    stream_bps = float(1.0 / max(coef[1], 1e-12))
+    # Sanity-gate the fit: on a noisy run the two terms can come out
+    # collinear or negative, which would silently misrank every
+    # GLASS_TPU_AUTOTUNE-enabled layout decision. Refuse to write garbage.
+    if coef[0] <= 0 or coef[1] <= 0:
+        raise SystemExit(
+            f"autotune fit is non-physical (step_cost={coef[0]:.3e} s, "
+            f"byte_cost={coef[1]:.3e} s/B) — measurements too noisy; re-run "
+            "(and check the tunnel-timing caveats in CLAUDE.md)"
+        )
+    band_step_s = float(coef[0])
+    stream_bps = float(1.0 / coef[1])
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and not (1e-8 <= band_step_s <= 1e-3 and 1e9 <= stream_bps <= 1e13):
+        # interpret-mode (--force_cpu) numbers are orders of magnitude off
+        # by design; plausibility-gate real-TPU fits only
+        raise SystemExit(
+            f"autotune fit out of plausible range (step {band_step_s:.3e} s, "
+            f"stream {stream_bps:.3e} B/s) — refusing to write"
+        )
 
     # BCSR: same pattern family; reuse the fitted stream rate, solve the
     # per-chunk cost from the residual.
@@ -153,7 +170,16 @@ def main():
               f"{nbytes / 1e6:.1f} MB, {dt * 1e6:.1f} us/iter", file=sys.stderr)
 
     resid = np.asarray(bcsr_times) - np.asarray(bcsr_bytes) / stream_bps
-    bcsr_step_s = max(float((resid / np.asarray(bcsr_steps)).mean()), 1e-8)
+    bcsr_step_s = float((resid / np.asarray(bcsr_steps)).mean())
+    if on_tpu and not 1e-8 <= bcsr_step_s <= 1e-3:
+        raise SystemExit(
+            f"autotune BCSR fit out of plausible range ({bcsr_step_s:.3e} s "
+            "per chunk) — refusing to write"
+        )
+    # interpret mode (--force_cpu): the band-fitted stream rate can
+    # overshoot BCSR's byte cost, leaving a negative residual — clamp, the
+    # numbers are for pipeline testing only
+    bcsr_step_s = max(bcsr_step_s, 1e-8)
 
     out = {
         "band_step_cost_s": band_step_s,
