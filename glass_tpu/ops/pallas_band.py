@@ -36,6 +36,7 @@ the banded layout is a performance specialization, not a semantic change.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import numpy as np
 import jax
@@ -64,19 +65,34 @@ class BandedAdj:
 
     slabs[g] is the dense (rps*128, w_blocks*128) slab of row-block group g;
     clo[g] the first column block of g's window (clamped so the window always
-    lies in bounds)."""
+    lies in bounds).
+
+    The layout may be rectangular (``n_cb`` column blocks independent of the
+    ``n_rb`` row blocks — per-shard layouts are local-rows x global-cols) and
+    row-range trimmed: when ``g_lo`` is set, the stored slabs cover only row
+    groups [g_lo, g_lo + n_groups) of the ``n_g_total`` total and the SpMM
+    scatters the computed rows back into a zero output. ``g_lo`` is a traced
+    scalar (not static) so per-shard layouts with different trim offsets share
+    one compiled program under shard_map."""
 
     slabs: jnp.ndarray  # (n_g, rps*BLOCK, w_blocks*BLOCK)
     clo: jnp.ndarray  # (n_g,) int32, window start in column-block units
     n_rb: int = struct.field(pytree_node=False)
     n_cb: int = struct.field(pytree_node=False)
-    n_node: int = struct.field(pytree_node=False)
+    n_node: int = struct.field(pytree_node=False)  # real output rows
     rps: int = struct.field(pytree_node=False)  # row-blocks per grid step
     w_blocks: int = struct.field(pytree_node=False)  # window width (blocks)
+    # row-range trim: first stored group (traced scalar) + total group count
+    g_lo: Optional[jnp.ndarray] = None
+    n_g_total: int = struct.field(pytree_node=False, default=0)
 
     @property
     def n_groups(self) -> int:
         return int(self.slabs.shape[0])
+
+    @property
+    def total_groups(self) -> int:
+        return self.n_g_total if self.n_g_total else self.n_groups
 
 
 def _group_minmax(g, v, n_g: int, v_default_lo: int):
@@ -99,15 +115,16 @@ def _group_minmax(g, v, n_g: int, v_default_lo: int):
     return lo, hi
 
 
-def band_stats(row, col, weight, n_node: int, rps: int):
+def band_stats(row, col, weight, n_node: int, rps: int, n_col=None):
     """Host-side window statistics for the banded layout (cheap: no slab
-    materialization). Returns (w_blocks, clo, slab_bytes_f32, n_groups)."""
+    materialization). Returns (w_blocks, clo, slab_bytes_f32, n_groups).
+    ``n_col``: column count for rectangular layouts (default: square)."""
     row = np.asarray(row)
     col = np.asarray(col)
     keep = np.asarray(weight) != 0
     row, col = row[keep], col[keep]
     n_rb = -(-n_node // BLOCK)
-    n_cb = n_rb
+    n_cb = -(-(n_col if n_col is not None else n_node) // BLOCK)
     n_g = -(-n_rb // rps)
     g = (row // BLOCK) // rps
     cb = col // BLOCK
@@ -118,6 +135,24 @@ def band_stats(row, col, weight, n_node: int, rps: int):
     clo = np.clip(np.minimum(lo, n_cb - w), 0, None).astype(np.int32)
     slab_bytes = n_g * rps * BLOCK * w * BLOCK * 4
     return w, clo, slab_bytes, n_g
+
+
+def window_starts(row, col, n_node: int, rps: int, w: int, n_col=None):
+    """Clamped per-group window starts for a FORCED width ``w`` (the stacked
+    per-shard layouts share one width so shard_map operands are rectangular).
+    Raises if any group's column span exceeds ``w``."""
+    row = np.asarray(row)
+    col = np.asarray(col)
+    n_rb = -(-n_node // BLOCK)
+    n_cb = -(-(n_col if n_col is not None else n_node) // BLOCK)
+    n_g = -(-n_rb // rps)
+    lo, hi = _group_minmax((row // BLOCK) // rps, col // BLOCK, n_g, n_cb)
+    if np.any(hi - lo > w):
+        raise ValueError(
+            f"group span {int((hi - lo).max())} blocks exceeds the forced "
+            f"window width {w}"
+        )
+    return np.clip(np.minimum(lo, n_cb - w), 0, None).astype(np.int32)
 
 
 def plan_windows(row, col, weight, n_node: int, rps: int, w: int):
@@ -200,22 +235,29 @@ def band_vmem_ok(rps: int, w_blocks: int, h_pad: int, itemsize: int) -> bool:
 
 
 def build_band_arrays(row, col, weight, n_node: int, rps: int = 8, dtype="float32",
-                      window=None):
+                      window=None, n_col=None, trim_groups=None):
     """Host-side banded-slab construction from normalized COO (numpy only —
     device readback through a remote-TPU tunnel is pathologically slow).
     Zero-weight padding edges are ignored.
 
     ``window``: optional (w_blocks, clo) forcing the layout's windows (the
-    hybrid split path); every edge must fall inside its group's window."""
+    hybrid split path); every edge must fall inside its group's window.
+    ``n_col``: column count for rectangular layouts (default: square).
+    ``trim_groups``: optional (g_lo, n_g_store) storing only row groups
+    [g_lo, g_lo + n_g_store) — the per-shard transposed layouts are mostly
+    empty outside this shard's column band, and trimmed storage skips both
+    the zero slabs and their MXU passes. Every nonzero edge must fall inside
+    the trimmed range."""
     row = np.asarray(row)
     col = np.asarray(col)
     weight = np.asarray(weight)
     keep = weight != 0
     row, col, weight = row[keep], col[keep], weight[keep]
+    n_rb = -(-n_node // BLOCK)
+    n_g_total = -(-n_rb // rps)
     if window is not None:
         w, clo = window
         clo = np.asarray(clo, dtype=np.int32)
-        n_g = clo.shape[0]
         cb = col // BLOCK
         g_chk = (row // BLOCK) // rps
         if cb.size and not (
@@ -223,8 +265,28 @@ def build_band_arrays(row, col, weight, n_node: int, rps: int = 8, dtype="float3
         ).all():
             raise ValueError("edge outside its forced band window")
     else:
-        w, clo, _, n_g = band_stats(row, col, np.ones_like(row), n_node, rps)
-    n_rb = -(-n_node // BLOCK)
+        w, clo, _, _ = band_stats(
+            row, col, np.ones_like(row), n_node, rps, n_col=n_col
+        )
+    if clo.shape[0] != n_g_total:
+        raise ValueError(
+            f"window table has {clo.shape[0]} groups, expected {n_g_total}"
+        )
+    g_lo = 0
+    n_g = n_g_total
+    if trim_groups is not None:
+        g_lo, n_g = trim_groups
+        if not 0 <= g_lo <= n_g_total - n_g:
+            raise ValueError(
+                f"trim range [{g_lo}, {g_lo + n_g}) outside the "
+                f"{n_g_total}-group layout"
+            )
+        g_all = (row // BLOCK) // rps
+        if g_all.size and not ((g_all >= g_lo) & (g_all < g_lo + n_g)).all():
+            raise ValueError("edge outside the trimmed group range")
+        # shift rows so the fill sees groups [0, n_g)
+        row = row - g_lo * (rps * BLOCK)
+        clo = clo[g_lo : g_lo + n_g]
     from glass_tpu.native import band_fill
 
     slabs = band_fill(row, col, weight, rps, w, clo, n_g)
@@ -241,21 +303,27 @@ def build_band_arrays(row, col, weight, n_node: int, rps: int = 8, dtype="float3
         ).astype(np.float32)
     if dtype in ("bfloat16", "bf16"):
         slabs = slabs.astype(jnp.bfloat16)
-    return dict(slabs=slabs, clo=clo, n_rb=n_rb, w_blocks=w)
+    n_cb = -(-(n_col if n_col is not None else n_node) // BLOCK)
+    return dict(slabs=slabs, clo=clo, n_rb=n_rb, n_cb=n_cb, w_blocks=w,
+                g_lo=g_lo, n_g_total=n_g_total)
 
 
 def build_band(row, col, weight, n_node: int, rps: int = 8, dtype="float32",
-               window=None) -> BandedAdj:
+               window=None, n_col=None, trim_groups=None) -> BandedAdj:
     """Device-placed banded adjacency (see build_band_arrays)."""
-    a = build_band_arrays(row, col, weight, n_node, rps, dtype, window=window)
+    a = build_band_arrays(row, col, weight, n_node, rps, dtype, window=window,
+                          n_col=n_col, trim_groups=trim_groups)
     return BandedAdj(
         slabs=jnp.asarray(a["slabs"]),
         clo=jnp.asarray(a["clo"]),
         n_rb=a["n_rb"],
-        n_cb=a["n_rb"],
+        n_cb=a["n_cb"],
         n_node=n_node,
         rps=rps,
         w_blocks=a["w_blocks"],
+        g_lo=(None if trim_groups is None
+              else jnp.asarray(a["g_lo"], dtype=jnp.int32)),
+        n_g_total=a["n_g_total"],
     )
 
 
@@ -417,6 +485,11 @@ def band_spmm(
     n_g = band.n_groups
     itemsize = jnp.dtype(x_dtype).itemsize
     n_pad = band.n_cb * BLOCK
+    if x.shape[0] > n_pad:
+        raise ValueError(
+            f"x has {x.shape[0]} rows but the band layout covers only "
+            f"{n_pad} columns (n_cb={band.n_cb})"
+        )
     # whole-x-in-VMEM when it fits alongside the pipelined slab/out blocks
     xvmem = (
         n_pad * h_in * itemsize
@@ -499,18 +572,26 @@ def band_spmm(
         grid_spec=grid_spec,
         interpret=interpret,
     )(band.clo, x_pad, band.slabs)
-    return out[: x.shape[0], :h_in]
+    if band.g_lo is not None:
+        # row-range-trimmed layout: scatter the stored groups' rows back into
+        # the full output (g_lo is traced — one program serves every shard)
+        full = jnp.zeros((band.total_groups * rps * BLOCK, h), jnp.float32)
+        out = jax.lax.dynamic_update_slice(
+            full, out, (band.g_lo * (rps * BLOCK), 0)
+        )
+    return out[: band.n_node, :h_in]
 
 
 def _band_tree(b: BandedAdj):
-    return (b.slabs, b.clo)
+    return (b.slabs, b.clo) if b.g_lo is None else (b.slabs, b.clo, b.g_lo)
 
 
 def _band_untree(t, meta) -> BandedAdj:
-    n_rb, n_cb, n_node, rps, wb = meta
+    n_rb, n_cb, n_node, rps, wb, n_g_total = meta
     return BandedAdj(
         slabs=t[0], clo=t[1], n_rb=n_rb, n_cb=n_cb, n_node=n_node,
         rps=rps, w_blocks=wb,
+        g_lo=t[2] if len(t) > 2 else None, n_g_total=n_g_total,
     )
 
 
@@ -544,7 +625,7 @@ def _make_diff_band_spmm(fwd_meta, bwd_meta, interpret: bool, stripes: int,
 
 
 def _band_meta(b: BandedAdj):
-    return (b.n_rb, b.n_cb, b.n_node, b.rps, b.w_blocks)
+    return (b.n_rb, b.n_cb, b.n_node, b.rps, b.w_blocks, b.n_g_total)
 
 
 # Slab-transfer DMA channels used by the training path (see

@@ -171,14 +171,19 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
         return spmm_ring(graph, x)
     if mode == "pallas" and graph.axis is not None:
         # sharded: each shard runs the kernel over its local (rows-local,
-        # cols-global) BCSR layout on the gathered features; AD of the
-        # all_gather reduce-scatters dx back to the shards
+        # cols-global) block-sparse layout on the gathered features; AD of
+        # the all_gather reduce-scatters dx back to the shards. Banded slabs
+        # when the partition planner chose them, chunked BCSR otherwise.
+        if graph.band is not None:
+            from glass_tpu.ops.pallas_band import spmm_band
+
+            return spmm_band(graph, gather_global(graph, x))
         if graph.bcsr is None:
             # the host-side layout cache cannot run on shard_map tracers —
             # fail with the fix, not a TracerArrayConversionError
             raise ValueError(
-                "sharded --spmm pallas needs per-shard BCSR layouts: build "
-                "with partition_graph(..., materialize_bcsr=True)"
+                "sharded --spmm pallas needs per-shard block-sparse layouts: "
+                "build with partition_graph(..., materialize_bcsr=True)"
             )
         from glass_tpu.ops.pallas_spmm import spmm_pallas
 

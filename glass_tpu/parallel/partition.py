@@ -19,6 +19,7 @@ from typing import Optional
 
 import numpy as np
 
+from glass_tpu.ops._pallas_common import BLOCK
 from glass_tpu.ops.graph import Graph, normalized_edge_weight
 
 
@@ -88,6 +89,56 @@ class StackedBCSR:
 
 
 @dataclasses.dataclass(frozen=True)
+class StackedBand:
+    """K per-shard banded-slab layouts (ops.pallas_band.BandedAdj) stacked on
+    a leading shard axis with one shared window width, so they can be
+    shard_map operands. Forward layouts are rectangular (local rows x global
+    columns); transposed layouts (global rows x local columns) are row-range
+    trimmed — only the groups around this shard's column band are stored, and
+    the traced per-shard ``g_lo`` scatters the computed rows back (the other
+    groups of A_local^T are structurally zero)."""
+
+    slabs: np.ndarray  # (K, n_g, rps*BLOCK, W*BLOCK)
+    clo: np.ndarray  # (K, n_g) int32 window starts
+    g_lo: np.ndarray  # (K,) int32 first stored group (zeros when untrimmed)
+    n_rb: int
+    n_cb: int
+    n_node: int  # real output rows of each local layout
+    rps: int
+    w_blocks: int
+    n_g_total: int
+    trimmed: bool  # whether local layouts carry the traced g_lo offset
+
+    def tree(self):
+        import jax.numpy as jnp
+
+        return tuple(jnp.asarray(a) for a in (self.slabs, self.clo, self.g_lo))
+
+    def specs(self, axis: str):
+        from jax.sharding import PartitionSpec as P
+
+        return (P(axis, None, None, None), P(axis, None), P(axis))
+
+    def local(self, t):
+        """Rebuilds this shard's BandedAdj inside shard_map from the 3 sliced
+        operands (each with a leading dim of 1)."""
+        from glass_tpu.ops.pallas_band import BandedAdj
+
+        slabs, clo, g_lo = t
+        return BandedAdj(
+            slabs=slabs.reshape(slabs.shape[1:]),
+            clo=clo.reshape(-1),
+            n_rb=self.n_rb,
+            n_cb=self.n_cb,
+            n_node=self.n_node,
+            rps=self.rps,
+            w_blocks=self.w_blocks,
+            g_lo=g_lo.reshape(()) if self.trimmed else None,
+            n_g_total=self.n_g_total,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class PartitionedGraph:
     """Stacked per-shard arrays, leading dim = K shards (shard_map operand).
 
@@ -117,6 +168,10 @@ class PartitionedGraph:
     # the fast-kernel path for sharded large graphs
     bcsr: Optional[StackedBCSR] = None
     bcsr_t: Optional[StackedBCSR] = None
+    # per-shard banded-slab layouts — chosen instead of BCSR when the cost
+    # model says the shards' profiles are band-structured (RCM-ordered graphs)
+    band: Optional[StackedBand] = None
+    band_t: Optional[StackedBand] = None
 
     def local_graph(self, row, col, weight, dense, axis: str,
                     loc_row=None, loc_col=None, loc_weight=None,
@@ -168,6 +223,7 @@ def partition_graph(
     edge_bucket: int = 256,
     overlap: bool = True,
     ring: bool = False,
+    sparse_layout: str = "auto",
 ) -> PartitionedGraph:
     """Partitions a COO edge list into K destination-row blocks.
 
@@ -177,6 +233,11 @@ def partition_graph(
     arrays for collective/compute overlap. With ``ring=True`` (requires
     overlap), off-block edges are additionally bucketed by source block for
     the ppermute-ring halo exchange (ops.spmm.spmm_ring).
+
+    ``sparse_layout`` ("auto" | "bcsr" | "band", with materialize_bcsr=True):
+    which per-shard Pallas layout to build — "auto" scores stacked banded
+    slabs against stacked chunked BCSR with the measured cost model and
+    keeps the cheaper one (mirroring build_graph's unsharded planner).
     """
     if ring and not overlap:
         raise ValueError("ring=True requires overlap=True (own-block split)")
@@ -249,19 +310,177 @@ def partition_graph(
             sel = shard_of == k
             np.add.at(dense[k], (row[sel] - k * nb, col[sel]), w[sel])
 
-    bcsr = bcsr_t = None
+    bcsr = bcsr_t = band = band_t = None
     if materialize_bcsr:
-        bcsr, bcsr_t = _build_stacked_bcsr(
-            row, col, w, shard_of, n_shards, nb, dense_dtype
-        )
+        plan = None
+        if sparse_layout in ("auto", "band"):
+            plan = _plan_stacked_band(
+                row, col, w, shard_of, n_shards, nb, dense_dtype,
+                forced=sparse_layout == "band",
+            )
+        elif sparse_layout != "bcsr":
+            raise ValueError(
+                f"unknown sparse_layout {sparse_layout!r} for partitioned "
+                "graphs (use 'auto', 'bcsr', or 'band')"
+            )
+        if plan is not None:
+            band, band_t = _build_stacked_band(
+                row, col, w, shard_of, n_shards, nb, dense_dtype, *plan
+            )
+        else:
+            bcsr, bcsr_t = _build_stacked_bcsr(
+                row, col, w, shard_of, n_shards, nb, dense_dtype
+            )
 
     return PartitionedGraph(
         row=rows, col=cols, weight=ws, dense=dense,
         n_shards=n_shards, block=nb, n_node=n_node, n_edge=n_edge, aggr=aggr,
         loc_row=lrows, loc_col=lcols, loc_weight=lws,
         ring_row=ring_rows, ring_col=ring_cols, ring_weight=ring_ws,
-        bcsr=bcsr, bcsr_t=bcsr_t,
+        bcsr=bcsr, bcsr_t=bcsr_t, band=band, band_t=band_t,
     )
+
+
+def _plan_stacked_band(row, col, w, shard_of, n_shards, nb, dense_dtype,
+                       forced: bool = False):
+    """Scores stacked banded slabs against stacked chunked BCSR with the
+    measured cost model (ops.graph._cost_constants) and returns the band
+    build args ``(rps, w_fwd, w_bwd)`` when the band wins, else None.
+
+    Shards execute in lockstep under shard_map, so the slowest shard's
+    kernel time is the step time — costs are maxed over shards. The
+    transposed (backward) layouts are row-range trimmed, so their cost uses
+    the stored group count, not the full global row range."""
+    from glass_tpu.ops import pallas_band
+    from glass_tpu.ops.graph import _cost_constants
+    from glass_tpu.ops.pallas_spmm import CHUNK
+
+    band_step_s, bcsr_step_s, stream_bps = _cost_constants()
+    itemsize = 2 if dense_dtype == "bf16" else 4
+    n_glob = n_shards * nb
+    n_cb_glob = -(-n_glob // BLOCK)
+    n_rb_loc = -(-nb // BLOCK)
+    keep = np.asarray(w) != 0
+    shards = []  # (r_local, c_global) nonzero edges per shard
+    for k in range(n_shards):
+        sel = keep & (shard_of == k)
+        shards.append((row[sel] - k * nb, col[sel]))
+
+    def bcsr_cost(r, c, n_row_blocks, col_mult):
+        """Chunked-BCSR model for a rectangular (local) pattern."""
+        if r.size == 0:
+            return n_row_blocks * bcsr_step_s
+        bid = np.unique((r // BLOCK) * col_mult + c // BLOCK)
+        cnt = np.bincount((bid // col_mult).astype(np.int64),
+                          minlength=n_row_blocks)
+        chunks = int(np.maximum(-(-cnt // CHUNK), 1).sum())
+        stored = int((-(-cnt // CHUNK) * CHUNK).sum())
+        return chunks * bcsr_step_s + stored * BLOCK * BLOCK * itemsize / stream_bps
+
+    bcsr_total = max(
+        bcsr_cost(r, c, n_rb_loc, n_cb_glob)
+        + bcsr_cost(c, r, n_cb_glob, n_rb_loc)
+        for r, c in shards
+    )
+
+    best = None  # (cost, rps, w_fwd, w_bwd)
+    for rps in (1, 2, 4, 8, 16):
+        n_g_f = -(-n_rb_loc // rps)
+        n_g_total_t = -(-n_cb_glob // rps)
+        w_f = w_t = 1
+        store_t = 1
+        for r, c in shards:
+            ones = np.ones(r.size)
+            wf, _, _, _ = pallas_band.band_stats(r, c, ones, nb, rps,
+                                                 n_col=n_glob)
+            wt, _, _, _ = pallas_band.band_stats(c, r, ones, n_glob, rps,
+                                                 n_col=nb)
+            w_f, w_t = max(w_f, wf), max(w_t, wt)
+            if r.size:
+                g = (c // BLOCK) // rps
+                store_t = max(store_t, int(g.max() - g.min() + 1))
+        if not (pallas_band.band_vmem_ok(rps, w_f, 128, itemsize)
+                and pallas_band.band_vmem_ok(rps, w_t, 128, itemsize)):
+            continue
+        store_t = min(store_t, n_g_total_t)
+        slab_b = rps * BLOCK * BLOCK * itemsize
+        cost = (
+            n_g_f * (band_step_s + w_f * slab_b / stream_bps)
+            + store_t * (band_step_s + w_t * slab_b / stream_bps)
+        )
+        if best is None or cost < best[0]:
+            best = (cost, rps, w_f, w_t)
+
+    if best is None:
+        if forced:
+            raise ValueError(
+                "sparse_layout='band': no per-shard band window fits VMEM "
+                "for any rps — the partitioned profiles are too wide"
+            )
+        return None
+    if not forced and best[0] >= bcsr_total:
+        return None
+    return best[1:]
+
+
+def _build_stacked_band(row, col, w, shard_of, n_shards, nb, dense_dtype,
+                        rps, w_fwd, w_bwd):
+    """Builds the per-shard banded-slab layouts (see StackedBand): forward
+    local-rows x global-cols at common width ``w_fwd``; transposed
+    global-rows x local-cols at common width ``w_bwd``, row-range trimmed to
+    a common stored-group count."""
+    from glass_tpu.ops import pallas_band
+
+    bdtype = "float32" if dense_dtype == "f32" else "bfloat16"
+    n_glob = n_shards * nb
+    n_rb_loc = -(-nb // BLOCK)
+    n_cb_glob = -(-n_glob // BLOCK)
+    n_g_total_t = -(-n_cb_glob // rps)
+    keep = np.asarray(w) != 0
+
+    shards = []
+    for k in range(n_shards):
+        sel = keep & (shard_of == k)
+        shards.append((row[sel] - k * nb, col[sel], w[sel]))
+
+    # common trimmed-group count for the transposed layouts
+    spans = [1]
+    for _, c, _ in shards:
+        if c.size:
+            g = (c // BLOCK) // rps
+            spans.append(int(g.max() - g.min() + 1))
+    n_g_store = min(max(spans), n_g_total_t)
+
+    fwd_parts, bwd_parts = [], []
+    for r, c, wk in shards:
+        clo_f = pallas_band.window_starts(r, c, nb, rps, w_fwd, n_col=n_glob)
+        fwd_parts.append(pallas_band.build_band_arrays(
+            r, c, wk, nb, rps, bdtype, window=(w_fwd, clo_f), n_col=n_glob,
+        ))
+        clo_t = pallas_band.window_starts(c, r, n_glob, rps, w_bwd, n_col=nb)
+        g_lo = 0
+        if c.size:
+            g_lo = int(((c // BLOCK) // rps).min())
+        g_lo = min(g_lo, n_g_total_t - n_g_store)
+        bwd_parts.append(pallas_band.build_band_arrays(
+            c, r, wk, n_glob, rps, bdtype, window=(w_bwd, clo_t), n_col=nb,
+            trim_groups=(g_lo, n_g_store),
+        ))
+
+    def stack(parts, n_rb, n_cb, n_node, wb, n_g_total, trimmed):
+        return StackedBand(
+            slabs=np.stack([p["slabs"] for p in parts]),
+            clo=np.stack([p["clo"] for p in parts]),
+            g_lo=np.asarray([p["g_lo"] for p in parts], dtype=np.int32),
+            n_rb=n_rb, n_cb=n_cb, n_node=n_node, rps=rps, w_blocks=wb,
+            n_g_total=n_g_total, trimmed=trimmed,
+        )
+
+    fwd = stack(fwd_parts, n_rb_loc, n_cb_glob, nb, w_fwd,
+                -(-n_rb_loc // rps), trimmed=False)
+    bwd = stack(bwd_parts, n_cb_glob, n_rb_loc, n_glob, w_bwd,
+                n_g_total_t, trimmed=True)
+    return fwd, bwd
 
 
 def _build_stacked_bcsr(row, col, w, shard_of, n_shards, nb, dense_dtype):

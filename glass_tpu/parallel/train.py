@@ -89,6 +89,13 @@ class ShardedTrainer:
             self.gparts = self.gparts + pgraph.bcsr.tree() + pgraph.bcsr_t.tree()
             gspecs.extend(pgraph.bcsr.specs("graph"))
             gspecs.extend(pgraph.bcsr_t.specs("graph"))
+        # per-shard banded-slab layouts (partition planner's pick for
+        # RCM-ordered graphs); same shard_map plumbing as the BCSR pair
+        self.has_band = pgraph.band is not None
+        if self.has_band:
+            self.gparts = self.gparts + pgraph.band.tree() + pgraph.band_t.tree()
+            gspecs.extend(pgraph.band.specs("graph"))
+            gspecs.extend(pgraph.band_t.specs("graph"))
         gspecs = tuple(gspecs)
         xspec = P("graph", None)
 
@@ -168,6 +175,12 @@ class ShardedTrainer:
             graph = graph.replace(
                 bcsr=self.pg.bcsr.local(gargs[i: i + 7]),
                 bcsr_t=self.pg.bcsr_t.local(gargs[i + 7: i + 14]),
+            )
+            i += 14
+        if getattr(self, "has_band", False):
+            graph = graph.replace(
+                band=self.pg.band.local(gargs[i: i + 3]),
+                band_t=self.pg.band_t.local(gargs[i + 3: i + 6]),
             )
         return graph
 

@@ -272,3 +272,74 @@ def test_asymmetric_infeasible_transpose_falls_back_to_bcsr():
     w = np.ones(n, dtype=np.float32)
     kind_t, _, _ = _plan_block_sparse(dst, src, w, n, "f32", None, "auto", False)
     assert kind_t != "band"
+
+
+def _dense_of(r, c, w, nr, nc):
+    d = np.zeros((nr, nc), np.float32)
+    np.add.at(d, (np.asarray(r), np.asarray(c)), np.asarray(w))
+    return d
+
+
+def test_band_rectangular_matches_dense(rng):
+    """Rectangular layouts (n_col != row count) — the per-shard forward
+    layouts are local-rows x global-cols (parallel/partition.py)."""
+    nr, nc, e = 300, 520, 4000
+    r = rng.integers(0, nr, e)
+    c = np.clip((r * nc // nr) + rng.integers(-60, 60, e), 0, nc - 1)
+    w = rng.normal(size=e).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(nc, 48)).astype(np.float32))
+    band = build_band(r, c, w, nr, rps=1, n_col=nc)
+    out = np.asarray(band_spmm(band, x, interpret=True))
+    assert out.shape == (nr, 48)
+    np.testing.assert_allclose(out, _dense_of(r, c, w, nr, nc) @ np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_band_trimmed_row_range_matches_dense(rng):
+    """Row-range-trimmed layouts store only the occupied group range and
+    scatter the computed rows back via the traced g_lo offset — the
+    per-shard transposed layouts' storage/compute saving."""
+    nr, nc, e = 1280, 520, 4000  # 10 row blocks, rps=2 -> 5 groups
+    r = rng.integers(2 * 2 * BLOCK, 4 * 2 * BLOCK, e)  # groups [2, 4) only
+    c = rng.integers(0, nc, e)
+    w = rng.normal(size=e).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(nc, 32)).astype(np.float32))
+    band = build_band(r, c, w, nr, rps=2, n_col=nc, trim_groups=(2, 2))
+    assert band.n_groups == 2 and band.total_groups == 5
+    assert int(band.g_lo) == 2
+    out = np.asarray(band_spmm(band, x, interpret=True))
+    assert out.shape == (nr, 32)
+    np.testing.assert_allclose(out, _dense_of(r, c, w, nr, nc) @ np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
+    # edges outside the trimmed range must be rejected, not silently dropped
+    with pytest.raises(ValueError):
+        build_band(np.array([0]), np.array([0]), np.array([1.0]), nr,
+                   rps=2, n_col=nc, trim_groups=(2, 2))
+
+
+def test_band_rectangular_gradient(rng):
+    """dx through a rectangular fwd/trimmed bwd layout pair equals the dense
+    A^T @ g (the sharded path's VJP structure, minus the collectives)."""
+    from glass_tpu.ops.graph import Graph
+
+    nr, nc, e = 256, 512, 3000
+    r = rng.integers(0, nr, e)
+    c = rng.integers(0, nc, e)
+    w = rng.normal(size=e).astype(np.float32)
+    fwd = build_band(r, c, w, nr, rps=1, n_col=nc)
+    # transposed layout: nc rows x nr cols, trimmed to its occupied range
+    g_all = (c // BLOCK) // 1
+    trim = (int(g_all.min()), int(g_all.max() - g_all.min() + 1))
+    bwd = build_band(c, r, w, nc, rps=1, n_col=nr, trim_groups=trim)
+    graph = Graph(row=jnp.zeros(1, jnp.int32), col=jnp.zeros(1, jnp.int32),
+                  weight=jnp.zeros(1), dense=None, n_node=nr, n_edge=e,
+                  band=fwd, band_t=bwd)
+    from glass_tpu.ops.pallas_band import spmm_band
+
+    x = jnp.asarray(rng.normal(size=(nc, 24)).astype(np.float32))
+    out = np.asarray(spmm_band(graph, x))
+    d = _dense_of(r, c, w, nr, nc)
+    np.testing.assert_allclose(out, d @ np.asarray(x), rtol=1e-4, atol=1e-4)
+    grad = np.asarray(jax.grad(lambda v: (spmm_band(graph, v) ** 2).sum())(x))
+    ref_grad = 2 * d.T @ (d @ np.asarray(x))
+    np.testing.assert_allclose(grad, ref_grad, rtol=1e-3, atol=1e-3)

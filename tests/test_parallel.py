@@ -448,7 +448,8 @@ def test_sharded_pallas_spmm_matches_unsharded(rng):
     )(jnp.asarray(x)))
 
     K = 4
-    pg = partition_graph(ei, None, n, "mean", K, materialize_bcsr=True)
+    pg = partition_graph(ei, None, n, "mean", K, materialize_bcsr=True,
+                         sparse_layout="bcsr")
     assert pg.bcsr is not None and pg.bcsr_t is not None
     # forward layouts are rectangular: local rows x global columns
     assert pg.bcsr.n_node == pg.block
@@ -522,7 +523,8 @@ def test_sharded_pallas_training_matches_single_device(rng):
         jnp.asarray(pos[None]), jnp.asarray(y[None]),
     )
 
-    pg = partition_graph(ei, None, n, "mean", 4, materialize_bcsr=True)
+    pg = partition_graph(ei, None, n, "mean", 4, materialize_bcsr=True,
+                         sparse_layout="bcsr")
     mesh = make_mesh(graph_shards=4, data_shards=2)
     st = ShardedTrainer(model, pg, x, cfg, mesh)
     assert st.has_bcsr
@@ -582,7 +584,8 @@ def test_stacked_bcsr_layouts_match_dense(rng, k, n, e):
     src = rng.integers(0, n, size=e)
     dst = rng.integers(0, n, size=e)
     ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
-    pg = partition_graph(ei, None, n, "mean", k, materialize_bcsr=True)
+    pg = partition_graph(ei, None, n, "mean", k, materialize_bcsr=True,
+                         sparse_layout="bcsr")
     nb = pg.block
 
     g = build_graph(ei, None, n, "mean", materialize_dense=True)
@@ -628,6 +631,7 @@ def test_sharded_pallas_bf16_blocks(rng):
 
     K = 4
     pg = partition_graph(ei, None, n, "mean", K, materialize_bcsr=True,
+                         sparse_layout="bcsr",
                          dense_dtype="bf16")
     assert pg.bcsr.blocks.dtype == jnp.bfloat16
     mesh = make_mesh(graph_shards=K, data_shards=2)
@@ -650,3 +654,126 @@ def test_sharded_pallas_bf16_blocks(rng):
         out_specs=P("graph", None), check_vma=False,
     )(jnp.asarray(xp), *gargs)
     np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=0.05, atol=0.05)
+
+
+def banded_toy(rng, n=700, e=3000, bw=40):
+    """Banded toy graph (the RCM-ordered regime the band layout targets)."""
+    src = rng.integers(0, n, size=e)
+    dst = np.clip(src + rng.integers(-bw, bw, size=e), 0, n - 1)
+    return np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])]), n
+
+
+def test_stacked_band_matches_unsharded(rng):
+    """Per-shard banded-slab layouts (partition_graph(sparse_layout='band'))
+    run the band kernel inside shard_map on the gathered features; forward
+    and backward must match the unsharded dense path. The transposed
+    layouts are row-range trimmed with traced per-shard g_lo offsets."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ei, n = banded_toy(rng)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    ref = np.asarray(spmm(g, jnp.asarray(x), "dense"))
+    ref_grad = np.asarray(jax.grad(
+        lambda v: (spmm(g, v, "dense") ** 2).sum()
+    )(jnp.asarray(x)))
+
+    K = 4
+    pg = partition_graph(ei, None, n, "mean", K, materialize_bcsr=True,
+                         sparse_layout="band")
+    assert pg.band is not None and pg.band_t is not None and pg.bcsr is None
+    assert pg.band.n_node == pg.block
+    assert pg.band_t.n_node == K * pg.block
+    # trimming is real: stored groups < total groups
+    assert pg.band_t.slabs.shape[1] < pg.band_t.n_g_total
+    mesh = make_mesh(graph_shards=K, data_shards=2)
+    xp = pg.pad_nodes(x)
+
+    def local_graph(gargs):
+        graph = pg.local_graph(*gargs[:3], None, "graph", *gargs[3:6])
+        return graph.replace(band=pg.band.local(gargs[6:9]),
+                             band_t=pg.band_t.local(gargs[9:12]))
+
+    def body(x_loc, *gargs):
+        return spmm(local_graph(gargs), x_loc, "pallas")
+
+    def grad_body(x_loc, *gargs):
+        graph = local_graph(gargs)
+        return jax.grad(lambda v: (spmm(graph, v, "pallas") ** 2).sum())(x_loc)
+
+    gargs = [jnp.asarray(pg.row), jnp.asarray(pg.col), jnp.asarray(pg.weight),
+             jnp.asarray(pg.loc_row), jnp.asarray(pg.loc_col),
+             jnp.asarray(pg.loc_weight)]
+    gspecs = [P("graph", None)] * 6
+    gargs += list(pg.band.tree()) + list(pg.band_t.tree())
+    gspecs += list(pg.band.specs("graph")) + list(pg.band_t.specs("graph"))
+
+    out = shard_map(
+        body, mesh=mesh, in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None), check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=1e-4, atol=1e-5)
+
+    gout = shard_map(
+        grad_body, mesh=mesh, in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None), check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    np.testing.assert_allclose(np.asarray(gout)[:n], ref_grad, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_stacked_layout_auto_plan(rng):
+    """The partition planner picks banded slabs for band-structured graphs;
+    forcing 'band' on a VMEM-infeasible profile raises."""
+    ei, n = banded_toy(rng)
+    pg = partition_graph(ei, None, n, "mean", 4, materialize_bcsr=True)
+    assert pg.band is not None and pg.bcsr is None
+    # a wide random profile at scale: every shard's window spans all columns;
+    # n chosen so a full-width slab cannot fit the VMEM budget
+    n2 = 260 * 128
+    src = rng.integers(0, n2, size=4000)
+    dst = rng.integers(0, n2, size=4000)
+    ei2 = np.stack([src, dst])
+    with pytest.raises(ValueError, match="band"):
+        partition_graph(ei2, None, n2, "sum", 2, materialize_bcsr=True,
+                        sparse_layout="band")
+    pg2 = partition_graph(ei2, None, n2, "sum", 2, materialize_bcsr=True)
+    assert pg2.band is None and pg2.bcsr is not None
+
+
+def test_sharded_band_training_matches_single_device(rng):
+    """A ShardedTrainer whose model runs --spmm pallas over the per-shard
+    banded-slab layouts reproduces the unsharded whole-epoch step (the
+    sharded band fast-kernel path end-to-end)."""
+    ei, n = banded_toy(rng, n=120, e=500, bw=15)
+    n_sub, L = 8, 5
+    pos = np.stack([rng.choice(n, size=L, replace=False) for _ in range(n_sub)])
+    y = rng.integers(0, 3, size=n_sub)
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=2,
+                  output_channels=(3,), pools=("size",), dropout=0.0,
+                  activation="elu", z_ratio=0.8, jk=True, spmm_mode="pallas")
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    cfg = TrainConfig(lr=1e-2, batch_size=n_sub, loss="ce", use_z=True)
+
+    g = build_graph(ei, None, n, "mean", materialize_dense=False,
+                    materialize_bcsr=True)
+    ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, donate=False)
+    params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
+    rngk = jax.random.PRNGKey(7)
+    ref_params, _, _, _, ref_loss = ref_tr._epoch(
+        params, opt_state, plateau, rngk,
+        jnp.asarray(pos[None]), jnp.asarray(y[None]),
+    )
+
+    pg = partition_graph(ei, None, n, "mean", 4, materialize_bcsr=True,
+                         sparse_layout="band")
+    mesh = make_mesh(graph_shards=4, data_shards=2)
+    st = ShardedTrainer(model, pg, x, cfg, mesh)
+    assert st.has_band and not st.has_bcsr
+    sh_params, sh_opt, sh_loss = st.train_step(
+        params, st.tx.init(params), plateau.lr, rngk, pos, y
+    )
+    np.testing.assert_allclose(float(sh_loss), float(ref_loss), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(sh_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-2)
