@@ -33,6 +33,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max_epochs", type=int, default=100)
     parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--sampler", type=str, default="tpe",
+                        choices=["tpe", "random"],
+                        help="no-optuna HPO sampler (train/tpe.py TPE or "
+                             "seeded random search)")
     parser.add_argument("--spmm", type=str, default=None,
                         choices=["dense", "segment", "pallas"])
     return parser
@@ -76,7 +80,8 @@ def main(argv=None):
 
     print(args)
     storage = f"sqlite:///{out_dir / (name + '.db')}"
-    run_hpo(cfg, n_trials=args.optruns, save_fn=save_fn, storage=storage)
+    run_hpo(cfg, n_trials=args.optruns, save_fn=save_fn, storage=storage,
+            sampler=args.sampler)
 
 
 if __name__ == "__main__":

@@ -169,13 +169,20 @@ def pretrain(cfg: SSLConfig, log: Callable[[str], None] = print):
     return float(np.average(scores) - np.std(scores)), emb
 
 
+# The HPO space of GNNEmb.py:176-183.
+SEARCH_SPACE = dict(
+    conv_layer=[2, 3, 4, 5],
+    dropout=[0.0, 0.1, 0.2, 0.3, 0.4, 0.5],
+    aggr=["sum", "mean", "gcn"],
+)
+
+
 def search_space(trial_like):
-    """The HPO space of GNNEmb.py:176-183."""
-    return dict(
-        conv_layer=trial_like("conv_layer", [2, 3, 4, 5]),
-        dropout=trial_like("dropout", [0.0, 0.1, 0.2, 0.3, 0.4, 0.5]),
-        aggr=trial_like("aggr", ["sum", "mean", "gcn"]),
-    )
+    """The HPO space of GNNEmb.py:176-183, through a suggest callback."""
+    return {
+        name: trial_like(name, choices)
+        for name, choices in SEARCH_SPACE.items()
+    }
 
 
 def run_hpo(
@@ -184,9 +191,13 @@ def run_hpo(
     save_fn: Callable[[np.ndarray], None],
     log: Callable[[str], None] = print,
     storage: Optional[str] = None,
+    sampler: str = "tpe",
 ):
     """Optuna study when available (with resumable sqlite storage, mirroring
-    GNNEmb.py:194-199), otherwise seeded random search over the same space."""
+    GNNEmb.py:194-199), otherwise the in-repo sampler over the same space:
+    ``sampler="tpe"`` (default — the same algorithm family as optuna's
+    default sampler, train/tpe.py) or ``sampler="random"``. Both persist a
+    resumable JSON study file when ``storage`` is set."""
     best = {"score": -np.inf}
 
     def objective_with(params: dict) -> float:
@@ -216,13 +227,15 @@ def run_hpo(
         log(f"best params {study.best_params}")
         log(f"best valf1 {study.best_value}")
     except ImportError:
-        # Seeded random search with a resumable JSON study file, mirroring the
+        # In-repo sampler with a resumable JSON study file, mirroring the
         # optuna sqlite load_if_exists semantics (GNNEmb.py:194-199): trial
         # params are drawn deterministically, completed trials are restored
         # from the study file and not re-trained.
         import json
         from pathlib import Path
 
+        if sampler not in ("tpe", "random"):
+            raise ValueError(f"unknown sampler {sampler!r} (tpe | random)")
         state_path = None
         done: list = []
         if storage is not None:
@@ -234,12 +247,26 @@ def run_hpo(
                     best.update(score=top["score"], params=top["params"])
                 log(f"resumed study: {len(done)} completed trials")
         rng = np.random.default_rng(0)
+        tpe = None
+        if sampler == "tpe":
+            from glass_tpu.train.tpe import TPESampler
+
+            tpe = TPESampler(seed=0)
         for t in range(n_trials):
-            params = search_space(
-                lambda name, choices: choices[rng.integers(len(choices))]
-            )
-            if t < len(done):
-                continue  # rng drawn above keeps the trial sequence aligned
+            if sampler == "random":
+                # rng drawn for every t (including restored ones) keeps the
+                # trial sequence aligned across resumes
+                params = search_space(
+                    lambda name, choices: choices[rng.integers(len(choices))]
+                )
+                if t < len(done):
+                    continue
+            else:
+                if t < len(done):
+                    continue
+                # TPE is per-trial seeded and otherwise a pure function of
+                # the restored history — resume-deterministic by construction
+                params = tpe.suggest(SEARCH_SPACE, done, t)
             log(f"trial {t}: {params}")
             score = objective_with(params)
             done.append({"params": params, "score": float(score)})

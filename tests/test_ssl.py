@@ -69,13 +69,15 @@ def test_hpo_random_search_resumes_from_study_file(tmp_path, monkeypatch):
     cfg = ssl.SSLConfig(dataset="stub", hidden_dim=2)
     storage = str(tmp_path / "study")
     saved = []
-    best1 = ssl.run_hpo(cfg, 4, saved.append, log=lambda *_: None, storage=storage)
+    best1 = ssl.run_hpo(cfg, 4, saved.append, log=lambda *_: None,
+                        storage=storage, sampler="random")
     assert len(calls) == 4
     assert (tmp_path / "study.json").exists()
 
     # resume with a larger budget: the 4 completed trials are not re-run
     logs = []
-    best2 = ssl.run_hpo(cfg, 6, saved.append, log=logs.append, storage=storage)
+    best2 = ssl.run_hpo(cfg, 6, saved.append, log=logs.append,
+                        storage=storage, sampler="random")
     assert len(calls) == 6
     assert any("resumed study: 4 completed trials" in l for l in logs)
     assert best2["score"] >= best1["score"]
@@ -124,3 +126,77 @@ def test_pretrained_table_feeds_glass(rng, tmp_path):
     # forward still works with the injected table
     logits = tr.evaluate(params, pos[None], 1)
     assert np.isfinite(logits).all()
+
+
+def test_tpe_sampler_concentrates_and_is_resume_deterministic():
+    """The in-repo TPE (train/tpe.py — the no-optuna default sampler,
+    reference GNNEmb.py:194-199 role): after the random startup phase it
+    must concentrate on the better region of a synthetic objective, and a
+    suggestion must be a pure function of (seed, trial index, history) so
+    resumed studies reproduce an uninterrupted run."""
+    from glass_tpu.train.tpe import TPESampler
+
+    space = dict(a=[0, 1, 2, 3], b=["x", "y"])
+
+    def score(p):  # a=2 dominant, b='y' mildly better
+        return (2.0 if p["a"] == 2 else 0.0) + (0.2 if p["b"] == "y" else 0.0)
+
+    tpe = TPESampler(seed=3, n_startup=8)
+    hist = []
+    for t in range(60):
+        params = tpe.suggest(space, hist, t)
+        hist.append({"params": params, "score": score(params)})
+    tail = [h["params"]["a"] for h in hist[30:]]
+    assert tail.count(2) / len(tail) > 0.6, f"TPE did not concentrate: {tail}"
+    head = [h["params"]["a"] for h in hist[:8]]
+    assert len(set(head)) > 1, "startup phase is not exploring"
+
+    # resume determinism: same history prefix -> same next suggestion
+    again = TPESampler(seed=3, n_startup=8)
+    for t in (8, 20, 59):
+        assert again.suggest(space, hist[:t], t) == tpe.suggest(space, hist[:t], t)
+
+
+def test_hpo_tpe_resumes_from_study_file(tmp_path, monkeypatch):
+    """run_hpo's default (TPE) fallback persists completed trials and a
+    resumed study continues with exactly the suggestions the uninterrupted
+    run makes (history-driven determinism instead of rng-sequence
+    alignment)."""
+    import glass_tpu.train.ssl as ssl
+
+    calls = []
+
+    def fake_pretrain(trial_cfg, log=print):
+        calls.append(trial_cfg)
+        # deterministic objective: prefer aggr=gcn strongly
+        return (1.0 if trial_cfg.aggr == "gcn" else 0.1), np.zeros((4, 2), np.float32)
+
+    monkeypatch.setattr(ssl, "pretrain", fake_pretrain)
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_optuna(name, *a, **k):
+        if name == "optuna":
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_optuna)
+
+    cfg = ssl.SSLConfig(dataset="stub", hidden_dim=2)
+    import json
+
+    # uninterrupted 16-trial reference study
+    ref_storage = str(tmp_path / "ref")
+    ssl.run_hpo(cfg, 16, lambda e: None, log=lambda *_: None, storage=ref_storage)
+    ref_trials = json.loads((tmp_path / "ref.json").read_text())["trials"]
+
+    # interrupted at 5, resumed to 16: identical trial sequence
+    storage = str(tmp_path / "study")
+    ssl.run_hpo(cfg, 5, lambda e: None, log=lambda *_: None, storage=storage)
+    logs = []
+    best = ssl.run_hpo(cfg, 16, lambda e: None, log=logs.append, storage=storage)
+    assert any("resumed study: 5 completed trials" in l for l in logs)
+    trials = json.loads((tmp_path / "study.json").read_text())["trials"]
+    assert trials == ref_trials
+    assert best["params"]["aggr"] == "gcn"
