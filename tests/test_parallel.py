@@ -777,3 +777,39 @@ def test_sharded_band_training_matches_single_device(rng):
     np.testing.assert_allclose(float(sh_loss), float(ref_loss), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(sh_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-2)
+
+
+def test_auto_sharding_with_band_matches_single_device(rng):
+    """GSPMD sharding='auto' with a prebuilt banded-slab Graph (--spmm
+    pallas over the band layout): the kernel runs replicated under the
+    sharding annotations and the epoch must match the single-device
+    Trainer."""
+    from glass_tpu.parallel.auto import AutoTrainer
+
+    ei, n = banded_toy(rng, n=60, e=240, bw=10)
+    n_sub, L = 8, 5
+    pos = np.stack([rng.choice(n, size=L, replace=False) for _ in range(n_sub)])
+    y = rng.integers(0, 3, size=n_sub)
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=1,
+                  output_channels=(3,), pools=("size",), dropout=0.0,
+                  activation="elu", z_ratio=0.8, jk=True, spmm_mode="pallas")
+    x = jnp.asarray(rng.integers(0, 5, size=(n, 1)).astype(np.int32))
+    cfg = TrainConfig(lr=1e-2, batch_size=n_sub, loss="ce", use_z=True)
+
+    g = build_graph(ei, None, n, "mean", materialize_dense=False,
+                    materialize_bcsr=True, sparse_layout="band")
+    assert g.band is not None
+    ref_tr = Trainer(model, g, x, cfg, donate=False)
+    params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
+    key = jax.random.PRNGKey(7)
+    ref = ref_tr._epoch(params, opt_state, plateau, key,
+                        jnp.asarray(pos[None]), jnp.asarray(y[None]))
+
+    mesh = make_mesh(graph_shards=1, data_shards=8)
+    at = AutoTrainer(model, g, x, cfg, mesh)
+    got = at._epoch(params, opt_state, plateau, key,
+                    jnp.asarray(pos[None]), jnp.asarray(y[None]))
+    np.testing.assert_allclose(float(got[4]), float(ref[4]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref[0]), jax.tree.leaves(got[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
