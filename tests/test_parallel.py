@@ -813,3 +813,49 @@ def test_auto_sharding_with_band_matches_single_device(rng):
     for a, b in zip(jax.tree.leaves(ref[0]), jax.tree.leaves(got[0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,n,e,bw", [(2, 300, 900, 30), (3, 257, 700, 25),
+                                      (5, 640, 2000, 50), (4, 100, 300, 100)])
+def test_stacked_band_layouts_match_dense(rng, k, n, e, bw):
+    """Property test of the per-shard banded-slab build over awkward shapes
+    (n not a multiple of K*128, shard blocks below one BLOCK, windows as
+    wide as the matrix): each shard's forward layout times the global
+    features must equal that shard's dense rows, and the trimmed transposed
+    layout must compute A_local^T exactly — direct kernel calls, independent
+    of shard_map."""
+    from glass_tpu.ops.pallas_band import band_spmm
+
+    src = rng.integers(0, n, size=e)
+    dst = np.clip(src + rng.integers(-bw, bw, size=e), 0, n - 1)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    pg = partition_graph(ei, None, n, "mean", k, materialize_bcsr=True,
+                         sparse_layout="band")
+    nb = pg.block
+
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    dense = np.zeros((n, n), np.float32)
+    r, c, w = (np.asarray(a) for a in (g.row, g.col, g.weight))
+    keep = w != 0
+    np.add.at(dense, (r[keep], c[keep]), w[keep])
+
+    h = 24
+    x = rng.normal(size=(k * nb, h)).astype(np.float32)
+    x[n:] = 0.0
+    xj = jnp.asarray(x)
+    xloc = rng.normal(size=(nb, h)).astype(np.float32)
+
+    for s in range(k):
+        fwd = pg.band.local(tuple(a[s][None] for a in pg.band.tree()))
+        out = np.asarray(band_spmm(fwd, xj, interpret=True))
+        ref = dense[s * nb: (s + 1) * nb] @ x[:n]
+        ref = np.pad(ref, [(0, nb - ref.shape[0]), (0, 0)])
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+        bwd = pg.band_t.local(tuple(a[s][None] for a in pg.band_t.tree()))
+        out_t = np.asarray(band_spmm(bwd, jnp.asarray(xloc), interpret=True))
+        a_loc = np.zeros((nb, k * nb), np.float32)
+        a_loc[: min(nb, n - s * nb) if s * nb < n else 0, :n] = \
+            dense[s * nb: (s + 1) * nb]
+        ref_t = a_loc.T @ xloc
+        np.testing.assert_allclose(out_t, ref_t, rtol=1e-4, atol=1e-4)
