@@ -388,18 +388,22 @@ def _load_cost_file(path: str) -> tuple:
 _HYBRID_MARGIN = 0.9
 
 
-def _bcsr_cost_model(row, col, n_node: int, itemsize: int) -> float:
+def _bcsr_cost_model(row, col, n_node: int, itemsize: int,
+                     n_col: Optional[int] = None) -> float:
     """Modeled chunked-BCSR kernel time for the given (nonzero) COO pattern:
     per-chunk fixed cost + slab stream time, including per-row CHUNK padding
-    and the one placeholder chunk every empty row-block still costs."""
+    and the one placeholder chunk every empty row-block still costs.
+    ``n_col``: column count for rectangular (per-shard) patterns — defaults
+    to square."""
     from glass_tpu.ops.pallas_spmm import BLOCK as B, CHUNK
 
     _, bcsr_step_s, stream_bps = _cost_constants()
     n_rb = -(-n_node // B)
+    n_cb = -(-(n_col if n_col is not None else n_node) // B)
     if row.size == 0:
         return n_rb * bcsr_step_s
-    bid = (row // B) * n_rb + col // B
-    urows = np.unique(bid) // n_rb
+    bid = (row // B) * n_cb + col // B
+    urows = np.unique(bid) // n_cb
     cnt = np.bincount(urows.astype(np.int64), minlength=n_rb)
     chunks = int(np.maximum(-(-cnt // CHUNK), 1).sum())
     stored = int((-(-cnt // CHUNK) * CHUNK).sum())

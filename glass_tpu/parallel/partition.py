@@ -314,8 +314,9 @@ def partition_graph(
     if materialize_bcsr:
         plan = None
         if sparse_layout in ("auto", "band"):
+            shards = _shard_split(row, col, w, shard_of, n_shards, nb)
             plan = _plan_stacked_band(
-                row, col, w, shard_of, n_shards, nb, dense_dtype,
+                shards, n_shards, nb, dense_dtype,
                 forced=sparse_layout == "band",
             )
         elif sparse_layout != "bcsr":
@@ -325,7 +326,7 @@ def partition_graph(
             )
         if plan is not None:
             band, band_t = _build_stacked_band(
-                row, col, w, shard_of, n_shards, nb, dense_dtype, *plan
+                shards, n_shards, nb, dense_dtype, *plan
             )
         else:
             bcsr, bcsr_t = _build_stacked_bcsr(
@@ -341,47 +342,42 @@ def partition_graph(
     )
 
 
-def _plan_stacked_band(row, col, w, shard_of, n_shards, nb, dense_dtype,
+def _shard_split(row, col, w, shard_of, n_shards, nb):
+    """Per-shard nonzero edges with BOTH sort orders precomputed once:
+    row-sorted ``(r, c, w)`` (the input is globally row-sorted, so per-shard
+    slices already are) and column-sorted ``(c_s, r_s, w_s)`` for the
+    transposed direction. band_stats/_group_minmax hit their sorted fast
+    path instead of argsorting the shard's edges on every (rps, direction)
+    probe — the same pre-sort the unsharded planner does
+    (ops/graph.py::_plan_block_sparse)."""
+    keep = np.asarray(w) != 0
+    shards = []
+    for k in range(n_shards):
+        sel = keep & (shard_of == k)
+        r, c, wk = row[sel] - k * nb, col[sel], w[sel]
+        cs = np.argsort(c, kind="stable")
+        shards.append(dict(r=r, c=c, w=wk, c_s=c[cs], r_s=r[cs], w_s=wk[cs]))
+    return shards
+
+
+def _plan_stacked_band(shards, n_shards, nb, dense_dtype,
                        forced: bool = False):
     """Scores stacked banded slabs against stacked chunked BCSR with the
-    measured cost model (ops.graph._cost_constants) and returns the band
-    build args ``(rps, w_fwd, w_bwd)`` when the band wins, else None.
+    measured cost model and returns the band build args
+    ``(rps, w_fwd, w_bwd)`` when the band wins, else None.
 
     Shards execute in lockstep under shard_map, so the slowest shard's
     kernel time is the step time — costs are maxed over shards. The
     transposed (backward) layouts are row-range trimmed, so their cost uses
     the stored group count, not the full global row range."""
     from glass_tpu.ops import pallas_band
-    from glass_tpu.ops.graph import _cost_constants
-    from glass_tpu.ops.pallas_spmm import CHUNK
+    from glass_tpu.ops.graph import _bcsr_cost_model, _cost_constants
 
-    band_step_s, bcsr_step_s, stream_bps = _cost_constants()
+    band_step_s, _, stream_bps = _cost_constants()
     itemsize = 2 if dense_dtype == "bf16" else 4
     n_glob = n_shards * nb
     n_cb_glob = -(-n_glob // BLOCK)
     n_rb_loc = -(-nb // BLOCK)
-    keep = np.asarray(w) != 0
-    shards = []  # (r_local, c_global) nonzero edges per shard
-    for k in range(n_shards):
-        sel = keep & (shard_of == k)
-        shards.append((row[sel] - k * nb, col[sel]))
-
-    def bcsr_cost(r, c, n_row_blocks, col_mult):
-        """Chunked-BCSR model for a rectangular (local) pattern."""
-        if r.size == 0:
-            return n_row_blocks * bcsr_step_s
-        bid = np.unique((r // BLOCK) * col_mult + c // BLOCK)
-        cnt = np.bincount((bid // col_mult).astype(np.int64),
-                          minlength=n_row_blocks)
-        chunks = int(np.maximum(-(-cnt // CHUNK), 1).sum())
-        stored = int((-(-cnt // CHUNK) * CHUNK).sum())
-        return chunks * bcsr_step_s + stored * BLOCK * BLOCK * itemsize / stream_bps
-
-    bcsr_total = max(
-        bcsr_cost(r, c, n_rb_loc, n_cb_glob)
-        + bcsr_cost(c, r, n_cb_glob, n_rb_loc)
-        for r, c in shards
-    )
 
     best = None  # (cost, rps, w_fwd, w_bwd)
     for rps in (1, 2, 4, 8, 16):
@@ -389,15 +385,15 @@ def _plan_stacked_band(row, col, w, shard_of, n_shards, nb, dense_dtype,
         n_g_total_t = -(-n_cb_glob // rps)
         w_f = w_t = 1
         store_t = 1
-        for r, c in shards:
-            ones = np.ones(r.size)
-            wf, _, _, _ = pallas_band.band_stats(r, c, ones, nb, rps,
-                                                 n_col=n_glob)
-            wt, _, _, _ = pallas_band.band_stats(c, r, ones, n_glob, rps,
-                                                 n_col=nb)
+        for s in shards:
+            ones = np.ones(s["r"].size)
+            wf, _, _, _ = pallas_band.band_stats(s["r"], s["c"], ones, nb,
+                                                 rps, n_col=n_glob)
+            wt, _, _, _ = pallas_band.band_stats(s["c_s"], s["r_s"], ones,
+                                                 n_glob, rps, n_col=nb)
             w_f, w_t = max(w_f, wf), max(w_t, wt)
-            if r.size:
-                g = (c // BLOCK) // rps
+            if s["c"].size:
+                g = (s["c"] // BLOCK) // rps
                 store_t = max(store_t, int(g.max() - g.min() + 1))
         if not (pallas_band.band_vmem_ok(rps, w_f, 128, itemsize)
                 and pallas_band.band_vmem_ok(rps, w_t, 128, itemsize)):
@@ -418,17 +414,24 @@ def _plan_stacked_band(row, col, w, shard_of, n_shards, nb, dense_dtype,
                 "for any rps — the partitioned profiles are too wide"
             )
         return None
-    if not forced and best[0] >= bcsr_total:
-        return None
+    if not forced:
+        # fwd + bwd BCSR cost for the slowest shard (skipped when forced —
+        # there is nothing to compare against)
+        bcsr_total = max(
+            _bcsr_cost_model(s["r"], s["c"], nb, itemsize, n_col=n_glob)
+            + _bcsr_cost_model(s["c_s"], s["r_s"], n_glob, itemsize, n_col=nb)
+            for s in shards
+        )
+        if best[0] >= bcsr_total:
+            return None
     return best[1:]
 
 
-def _build_stacked_band(row, col, w, shard_of, n_shards, nb, dense_dtype,
-                        rps, w_fwd, w_bwd):
+def _build_stacked_band(shards, n_shards, nb, dense_dtype, rps, w_fwd, w_bwd):
     """Builds the per-shard banded-slab layouts (see StackedBand): forward
     local-rows x global-cols at common width ``w_fwd``; transposed
     global-rows x local-cols at common width ``w_bwd``, row-range trimmed to
-    a common stored-group count."""
+    a common stored-group count. ``shards`` comes from _shard_split."""
     from glass_tpu.ops import pallas_band
 
     bdtype = "float32" if dense_dtype == "f32" else "bfloat16"
@@ -436,34 +439,32 @@ def _build_stacked_band(row, col, w, shard_of, n_shards, nb, dense_dtype,
     n_rb_loc = -(-nb // BLOCK)
     n_cb_glob = -(-n_glob // BLOCK)
     n_g_total_t = -(-n_cb_glob // rps)
-    keep = np.asarray(w) != 0
-
-    shards = []
-    for k in range(n_shards):
-        sel = keep & (shard_of == k)
-        shards.append((row[sel] - k * nb, col[sel], w[sel]))
 
     # common trimmed-group count for the transposed layouts
     spans = [1]
-    for _, c, _ in shards:
-        if c.size:
-            g = (c // BLOCK) // rps
+    for s in shards:
+        if s["c"].size:
+            g = (s["c"] // BLOCK) // rps
             spans.append(int(g.max() - g.min() + 1))
     n_g_store = min(max(spans), n_g_total_t)
 
     fwd_parts, bwd_parts = [], []
-    for r, c, wk in shards:
+    for s in shards:
+        r, c, wk = s["r"], s["c"], s["w"]
         clo_f = pallas_band.window_starts(r, c, nb, rps, w_fwd, n_col=n_glob)
         fwd_parts.append(pallas_band.build_band_arrays(
             r, c, wk, nb, rps, bdtype, window=(w_fwd, clo_f), n_col=n_glob,
         ))
-        clo_t = pallas_band.window_starts(c, r, n_glob, rps, w_bwd, n_col=nb)
+        # column-sorted views: window_starts hits the sorted fast path
+        clo_t = pallas_band.window_starts(s["c_s"], s["r_s"], n_glob, rps,
+                                          w_bwd, n_col=nb)
         g_lo = 0
         if c.size:
             g_lo = int(((c // BLOCK) // rps).min())
         g_lo = min(g_lo, n_g_total_t - n_g_store)
         bwd_parts.append(pallas_band.build_band_arrays(
-            c, r, wk, n_glob, rps, bdtype, window=(w_bwd, clo_t), n_col=nb,
+            s["c_s"], s["r_s"], s["w_s"], n_glob, rps, bdtype,
+            window=(w_bwd, clo_t), n_col=nb,
             trim_groups=(g_lo, n_g_store),
         ))
 

@@ -197,7 +197,14 @@ def run_hpo(
     GNNEmb.py:194-199), otherwise the in-repo sampler over the same space:
     ``sampler="tpe"`` (default — the same algorithm family as optuna's
     default sampler, train/tpe.py) or ``sampler="random"``. Both persist a
-    resumable JSON study file when ``storage`` is set."""
+    resumable JSON study file when ``storage`` is set.
+
+    ``sampler="random"`` always uses the in-repo seeded search even when
+    optuna is installed — an explicit random request must behave identically
+    in every deployment (and a resumed study must never switch samplers with
+    the environment)."""
+    if sampler not in ("tpe", "random"):
+        raise ValueError(f"unknown sampler {sampler!r} (tpe | random)")
     best = {"score": -np.inf}
 
     def objective_with(params: dict) -> float:
@@ -209,6 +216,8 @@ def run_hpo(
         return score
 
     try:
+        if sampler == "random":
+            raise ImportError("in-repo random sampler explicitly requested")
         import optuna
 
         def obj(trial):
@@ -234,8 +243,6 @@ def run_hpo(
         import json
         from pathlib import Path
 
-        if sampler not in ("tpe", "random"):
-            raise ValueError(f"unknown sampler {sampler!r} (tpe | random)")
         state_path = None
         done: list = []
         if storage is not None:
