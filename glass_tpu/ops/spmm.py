@@ -169,7 +169,7 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
         return spmm_segment(graph, x)
     if mode == "ring":
         return spmm_ring(graph, x)
-    if mode == "pallas" and graph.axis is not None:
+    if mode in ("pallas", "band") and graph.axis is not None:
         # sharded: each shard runs the kernel over its local (rows-local,
         # cols-global) block-sparse layout on the gathered features; AD of
         # the all_gather reduce-scatters dx back to the shards. Banded slabs
@@ -178,12 +178,16 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
             from glass_tpu.ops.pallas_band import spmm_band
 
             return spmm_band(graph, gather_global(graph, x))
-        if graph.bcsr is None:
-            # the host-side layout cache cannot run on shard_map tracers —
-            # fail with the fix, not a TracerArrayConversionError
+        if mode == "band" or graph.bcsr is None:
+            # band was requested but no stacked band layout exists, or no
+            # layout at all: the host-side layout cache cannot run on
+            # shard_map tracers — fail with the fix, not a
+            # TracerArrayConversionError (or a silently-local band product)
             raise ValueError(
-                "sharded --spmm pallas needs per-shard block-sparse layouts: "
-                "build with partition_graph(..., materialize_bcsr=True)"
+                f"sharded --spmm {mode} needs per-shard block-sparse "
+                "layouts: build with partition_graph(..., "
+                "materialize_bcsr=True"
+                + (", sparse_layout='band')" if mode == "band" else ")")
             )
         from glass_tpu.ops.pallas_spmm import spmm_pallas
 
