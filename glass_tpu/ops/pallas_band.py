@@ -181,13 +181,14 @@ def plan_windows(row, col, weight, n_node: int, rps: int, w: int):
     return clo, in_band
 
 
-def block_histogram(row, col, keep, n_node: int):
+def block_histogram(row, col, keep, n_node: int, n_col=None):
     """Raw per-(row-block, column-block) edge counts, (n_rb, n_cb+1) int64
     with column b counted at index b+1 (cumsum-ready). Computed ONCE with a
     flat bincount; coarser rps groupings aggregate it with
-    ``window_histogram_from_blocks`` instead of re-binning all E edges."""
-    n_cb = -(-n_node // BLOCK)
-    n_rb = n_cb
+    ``window_histogram_from_blocks`` instead of re-binning all E edges.
+    ``n_col``: column count for rectangular layouts (default: square)."""
+    n_rb = -(-n_node // BLOCK)
+    n_cb = -(-(n_col if n_col is not None else n_node) // BLOCK)
     flat = (row[keep] // BLOCK) * (n_cb + 1) + col[keep] // BLOCK + 1
     return np.bincount(flat, minlength=n_rb * (n_cb + 1)).reshape(
         n_rb, n_cb + 1

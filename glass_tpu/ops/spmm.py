@@ -173,7 +173,15 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
         # sharded: each shard runs the kernel over its local (rows-local,
         # cols-global) block-sparse layout on the gathered features; AD of
         # the all_gather reduce-scatters dx back to the shards. Banded slabs
-        # when the partition planner chose them, chunked BCSR otherwise.
+        # when the partition planner chose them, chunked BCSR otherwise —
+        # or BOTH (the hybrid split: A_local = A_band + A_residue, two
+        # kernels on one gathered feature matrix).
+        if graph.band is not None and graph.bcsr is not None:
+            from glass_tpu.ops.pallas_band import spmm_band
+            from glass_tpu.ops.pallas_spmm import spmm_pallas
+
+            xg = gather_global(graph, x)
+            return spmm_band(graph, xg) + spmm_pallas(graph, xg)
         if graph.band is not None:
             from glass_tpu.ops.pallas_band import spmm_band
 

@@ -313,20 +313,23 @@ def partition_graph(
     bcsr = bcsr_t = band = band_t = None
     if materialize_bcsr:
         plan = None
-        if sparse_layout in ("auto", "band"):
+        if sparse_layout in ("auto", "band", "hybrid"):
             shards = _shard_split(row, col, w, shard_of, n_shards, nb)
-            plan = _plan_stacked_band(
-                shards, n_shards, nb, dense_dtype,
-                forced=sparse_layout == "band",
+            plan = _plan_stacked_layout(
+                shards, n_shards, nb, dense_dtype, sparse_layout
             )
         elif sparse_layout != "bcsr":
             raise ValueError(
                 f"unknown sparse_layout {sparse_layout!r} for partitioned "
-                "graphs (use 'auto', 'bcsr', or 'band')"
+                "graphs (use 'auto', 'bcsr', 'band', or 'hybrid')"
             )
-        if plan is not None:
+        if plan is not None and plan[0] == "band":
             band, band_t = _build_stacked_band(
-                shards, n_shards, nb, dense_dtype, *plan
+                shards, n_shards, nb, dense_dtype, *plan[1:]
+            )
+        elif plan is not None:
+            band, band_t, bcsr, bcsr_t = _build_stacked_hybrid(
+                shards, n_shards, nb, dense_dtype, *plan[1:]
             )
         else:
             bcsr, bcsr_t = _build_stacked_bcsr(
@@ -360,71 +363,186 @@ def _shard_split(row, col, w, shard_of, n_shards, nb):
     return shards
 
 
-def _plan_stacked_band(shards, n_shards, nb, dense_dtype,
-                       forced: bool = False):
-    """Scores stacked banded slabs against stacked chunked BCSR with the
-    measured cost model and returns the band build args
-    ``(rps, w_fwd, w_bwd)`` when the band wins, else None.
-
-    Shards execute in lockstep under shard_map, so the slowest shard's
-    kernel time is the step time — costs are maxed over shards. The
-    transposed (backward) layouts are row-range trimmed, so their cost uses
-    the stored group count, not the full global row range."""
+def _hybrid_masks(s, rps, w_f, w_t, nb, n_glob):
+    """Per-shard hybrid split at forced widths: per-group best windows in
+    both directions (fwd: local rows x global cols; bwd: the mirror), and
+    the in-band mask = inside BOTH windows — A_band must be the same matrix
+    in the forward and transposed layouts. Returns (in_band on the
+    row-sorted arrays, in_band on the column-sorted arrays, clo_f, clo_t,
+    effective widths)."""
     from glass_tpu.ops import pallas_band
-    from glass_tpu.ops.graph import _bcsr_cost_model, _cost_constants
 
+    n_cb_glob = -(-n_glob // BLOCK)
+    n_rb_loc = -(-nb // BLOCK)
+    w_f = min(w_f, n_cb_glob)
+    w_t = min(w_t, n_rb_loc)
+    keep = np.ones(s["r"].size, dtype=bool)
+    cs_f = pallas_band.window_histogram_from_blocks(
+        pallas_band.block_histogram(s["r"], s["c"], keep, nb, n_col=n_glob),
+        rps,
+    )
+    cs_t = pallas_band.window_histogram_from_blocks(
+        pallas_band.block_histogram(s["c_s"], s["r_s"], keep, n_glob,
+                                    n_col=nb),
+        rps,
+    )
+    clo_f, _ = pallas_band.best_windows(cs_f, w_f)
+    clo_t, _ = pallas_band.best_windows(cs_t, w_t)
+
+    def mask(r, c):
+        g_f = (r // BLOCK) // rps
+        g_t = (c // BLOCK) // rps
+        cb, rb = c // BLOCK, r // BLOCK
+        return (
+            (cb >= clo_f[g_f]) & (cb < clo_f[g_f] + w_f)
+            & (rb >= clo_t[g_t]) & (rb < clo_t[g_t] + w_t)
+        )
+
+    return mask(s["r"], s["c"]), mask(s["r_s"], s["c_s"]), clo_f, clo_t, w_f, w_t
+
+
+def _plan_stacked_layout(shards, n_shards, nb, dense_dtype,
+                         sparse_layout: str):
+    """Chooses the stacked block-sparse layout for a partitioned graph.
+
+    Returns None (use stacked BCSR), ``("band", rps, w_fwd, w_bwd)``, or
+    ``("hybrid", rps, w_fwd, w_bwd)`` — banded slabs over per-group best
+    windows plus a stacked-BCSR residue, for profiles that are narrow except
+    for a few wide rows (without the split, one long-range row blows the
+    common window width for every shard). Candidates are scored with the
+    measured cost model (ops.graph._cost_constants); shards execute in
+    lockstep under shard_map, so per-shard costs are maxed. The transposed
+    layouts are row-range trimmed, so their cost uses the stored group
+    count, not the full global row range."""
+    from glass_tpu.ops import pallas_band
+    from glass_tpu.ops.graph import (
+        _HYBRID_MARGIN,
+        _bcsr_cost_model,
+        _cost_constants,
+    )
+
+    forced = sparse_layout in ("band", "hybrid")
     band_step_s, _, stream_bps = _cost_constants()
     itemsize = 2 if dense_dtype == "bf16" else 4
     n_glob = n_shards * nb
     n_cb_glob = -(-n_glob // BLOCK)
     n_rb_loc = -(-nb // BLOCK)
+    slab_cost = lambda n_steps, w: n_steps * (
+        band_step_s + w * BLOCK * BLOCK * itemsize / stream_bps
+    )
 
-    best = None  # (cost, rps, w_fwd, w_bwd)
+    bcsr_total = max(
+        _bcsr_cost_model(s["r"], s["c"], nb, itemsize, n_col=n_glob)
+        + _bcsr_cost_model(s["c_s"], s["r_s"], n_glob, itemsize, n_col=nb)
+        for s in shards
+    ) if sparse_layout == "auto" else np.inf
+
+    n_edges = sum(s["r"].size for s in shards)
+    best_band = None  # (cost, rps, w_fwd, w_bwd)
+    best_hybrid = None
     for rps in (1, 2, 4, 8, 16):
         n_g_f = -(-n_rb_loc // rps)
         n_g_total_t = -(-n_cb_glob // rps)
         w_f = w_t = 1
         store_t = 1
+        spans_f, spans_t = [], []
         for s in shards:
-            ones = np.ones(s["r"].size)
-            wf, _, _, _ = pallas_band.band_stats(s["r"], s["c"], ones, nb,
-                                                 rps, n_col=n_glob)
-            wt, _, _, _ = pallas_band.band_stats(s["c_s"], s["r_s"], ones,
-                                                 n_glob, rps, n_col=nb)
-            w_f, w_t = max(w_f, wf), max(w_t, wt)
+            lo, hi = pallas_band._group_minmax(
+                (s["r"] // BLOCK) // rps, s["c"] // BLOCK, n_g_f, n_cb_glob
+            )
+            sp = (hi - lo)[hi > 0]
+            spans_f.append(sp)
+            w_f = max(w_f, int(sp.max()) if sp.size else 1)
+            lo, hi = pallas_band._group_minmax(
+                (s["c_s"] // BLOCK) // rps, s["r_s"] // BLOCK, n_g_total_t,
+                n_rb_loc,
+            )
+            sp = (hi - lo)[hi > 0]
+            spans_t.append(sp)
+            w_t = max(w_t, int(sp.max()) if sp.size else 1)
             if s["c"].size:
                 g = (s["c"] // BLOCK) // rps
                 store_t = max(store_t, int(g.max() - g.min() + 1))
-        if not (pallas_band.band_vmem_ok(rps, w_f, 128, itemsize)
-                and pallas_band.band_vmem_ok(rps, w_t, 128, itemsize)):
-            continue
+        w_f, w_t = min(w_f, n_cb_glob), min(w_t, n_rb_loc)
         store_t = min(store_t, n_g_total_t)
-        slab_b = rps * BLOCK * BLOCK * itemsize
-        cost = (
-            n_g_f * (band_step_s + w_f * slab_b / stream_bps)
-            + store_t * (band_step_s + w_t * slab_b / stream_bps)
-        )
-        if best is None or cost < best[0]:
-            best = (cost, rps, w_f, w_t)
+        if (sparse_layout != "hybrid"
+                and pallas_band.band_vmem_ok(rps, w_f, 128, itemsize)
+                and pallas_band.band_vmem_ok(rps, w_t, 128, itemsize)):
+            cost = slab_cost(n_g_f, w_f) + slab_cost(store_t, w_t)
+            if best_band is None or cost < best_band[0]:
+                best_band = (cost, rps, w_f, w_t)
+        # hybrid candidates: per-direction span quantiles + small fixed
+        # widths, scored with the EXACT split (cheap relative to the build)
+        if sparse_layout == "band" or rps > 8:
+            continue
+        sf = np.concatenate(spans_f) if spans_f else np.zeros(0, np.int64)
+        st = np.concatenate(spans_t) if spans_t else np.zeros(0, np.int64)
+        if sf.size == 0 or st.size == 0:
+            continue
+        cands = {
+            (int(np.quantile(sf, q)), int(np.quantile(st, q)))
+            for q in (0.5, 0.9)
+        } | {(4, 4), (8, 8)}
+        for wfh, wth in sorted(cands):
+            wfh, wth = min(max(wfh, 1), n_cb_glob), min(max(wth, 1), n_rb_loc)
+            if (wfh, wth) == (w_f, w_t):
+                continue  # that is the full band, scored above
+            if not (pallas_band.band_vmem_ok(rps, wfh, 128, itemsize)
+                    and pallas_band.band_vmem_ok(rps, wth, 128, itemsize)):
+                continue
+            covered = 0
+            store_h = 1
+            res_cost = 0.0
+            for s in shards:
+                in_rc, in_cs, _, _, _, _ = _hybrid_masks(
+                    s, rps, wfh, wth, nb, n_glob
+                )
+                covered += int(in_rc.sum())
+                if in_cs.any():
+                    g = (s["c_s"][in_cs] // BLOCK) // rps
+                    store_h = max(store_h, int(g.max() - g.min() + 1))
+                out_r, out_c = s["r"][~in_rc], s["c"][~in_rc]
+                res_cost = max(
+                    res_cost,
+                    _bcsr_cost_model(out_r, out_c, nb, itemsize,
+                                     n_col=n_glob)
+                    + _bcsr_cost_model(out_c, out_r, n_glob, itemsize,
+                                       n_col=nb),
+                )
+            if n_edges and covered / n_edges < 0.5:
+                continue  # the band no longer carries the bulk
+            cost = (slab_cost(n_g_f, wfh) + slab_cost(store_h, wth)
+                    + res_cost)
+            if best_hybrid is None or cost < best_hybrid[0]:
+                best_hybrid = (cost, rps, wfh, wth)
 
-    if best is None:
-        if forced:
+    if sparse_layout == "band":
+        if best_band is None:
             raise ValueError(
                 "sparse_layout='band': no per-shard band window fits VMEM "
                 "for any rps — the partitioned profiles are too wide"
             )
+        return ("band",) + best_band[1:]
+    if sparse_layout == "hybrid":
+        if best_hybrid is None:
+            raise ValueError(
+                "sparse_layout='hybrid': no feasible per-shard hybrid "
+                "window (VMEM gate or empty shards)"
+            )
+        return ("hybrid",) + best_hybrid[1:]
+    # auto: cheapest of band / hybrid / bcsr; a hybrid must additionally
+    # beat the best single layout by the margin (two kernels + an add)
+    choices = []
+    if best_band is not None:
+        choices.append((best_band[0], ("band",) + best_band[1:]))
+    if best_hybrid is not None and best_hybrid[0] < _HYBRID_MARGIN * min(
+        [bcsr_total] + ([best_band[0]] if best_band else [])
+    ):
+        choices.append((best_hybrid[0], ("hybrid",) + best_hybrid[1:]))
+    choices = [c for c in choices if c[0] < bcsr_total]
+    if not choices:
         return None
-    if not forced:
-        # fwd + bwd BCSR cost for the slowest shard (skipped when forced —
-        # there is nothing to compare against)
-        bcsr_total = max(
-            _bcsr_cost_model(s["r"], s["c"], nb, itemsize, n_col=n_glob)
-            + _bcsr_cost_model(s["c_s"], s["r_s"], n_glob, itemsize, n_col=nb)
-            for s in shards
-        )
-        if best[0] >= bcsr_total:
-            return None
-    return best[1:]
+    return min(choices)[1]
 
 
 def _build_stacked_band(shards, n_shards, nb, dense_dtype, rps, w_fwd, w_bwd):
@@ -468,20 +586,84 @@ def _build_stacked_band(shards, n_shards, nb, dense_dtype, rps, w_fwd, w_bwd):
             trim_groups=(g_lo, n_g_store),
         ))
 
-    def stack(parts, n_rb, n_cb, n_node, wb, n_g_total, trimmed):
-        return StackedBand(
-            slabs=np.stack([p["slabs"] for p in parts]),
-            clo=np.stack([p["clo"] for p in parts]),
-            g_lo=np.asarray([p["g_lo"] for p in parts], dtype=np.int32),
-            n_rb=n_rb, n_cb=n_cb, n_node=n_node, rps=rps, w_blocks=wb,
-            n_g_total=n_g_total, trimmed=trimmed,
-        )
-
-    fwd = stack(fwd_parts, n_rb_loc, n_cb_glob, nb, w_fwd,
-                -(-n_rb_loc // rps), trimmed=False)
-    bwd = stack(bwd_parts, n_cb_glob, n_rb_loc, n_glob, w_bwd,
-                n_g_total_t, trimmed=True)
+    fwd = _stack_band_parts(fwd_parts, n_rb_loc, n_cb_glob, nb, rps, w_fwd,
+                            -(-n_rb_loc // rps), trimmed=False)
+    bwd = _stack_band_parts(bwd_parts, n_cb_glob, n_rb_loc, n_glob, rps,
+                            w_bwd, n_g_total_t, trimmed=True)
     return fwd, bwd
+
+
+def _stack_band_parts(parts, n_rb, n_cb, n_node, rps, wb, n_g_total, trimmed):
+    return StackedBand(
+        slabs=np.stack([p["slabs"] for p in parts]),
+        clo=np.stack([p["clo"] for p in parts]),
+        g_lo=np.asarray([p["g_lo"] for p in parts], dtype=np.int32),
+        n_rb=n_rb, n_cb=n_cb, n_node=n_node, rps=rps, w_blocks=wb,
+        n_g_total=n_g_total, trimmed=trimmed,
+    )
+
+
+def _build_stacked_hybrid(shards, n_shards, nb, dense_dtype, rps, w_f, w_t):
+    """Builds the per-shard hybrid split (see _plan_stacked_layout): banded
+    slabs over per-group best windows of forced widths ``(w_f, w_t)`` for
+    the in-band edges (in-band = inside BOTH directions' windows, so the
+    forward and transposed band layouts hold the same matrix), plus stacked
+    chunked BCSR over the residue. Returns (band, band_t, bcsr, bcsr_t)."""
+    from glass_tpu.ops import pallas_band
+
+    bdtype = "float32" if dense_dtype == "f32" else "bfloat16"
+    n_glob = n_shards * nb
+    n_rb_loc = -(-nb // BLOCK)
+    n_cb_glob = -(-n_glob // BLOCK)
+    n_g_total_t = -(-n_cb_glob // rps)
+
+    splits = [_hybrid_masks(s, rps, w_f, w_t, nb, n_glob) for s in shards]
+    w_f = splits[0][4] if splits else w_f  # clamped widths
+    w_t = splits[0][5] if splits else w_t
+
+    # common trimmed-group count for the transposed band layouts, over the
+    # in-band edges only
+    n_g_store = 1
+    for s, (_, in_cs, _, _, _, _) in zip(shards, splits):
+        if in_cs.any():
+            g = (s["c_s"][in_cs] // BLOCK) // rps
+            n_g_store = max(n_g_store, int(g.max() - g.min() + 1))
+    n_g_store = min(n_g_store, n_g_total_t)
+
+    fwd_parts, bwd_parts = [], []
+    res_r, res_c, res_w = [], [], []
+    for k, (s, (in_rc, in_cs, clo_f, clo_t, _, _)) in enumerate(
+        zip(shards, splits)
+    ):
+        fwd_parts.append(pallas_band.build_band_arrays(
+            s["r"][in_rc], s["c"][in_rc], s["w"][in_rc], nb, rps, bdtype,
+            window=(w_f, clo_f), n_col=n_glob,
+        ))
+        g_lo = 0
+        if in_cs.any():
+            g_lo = int(((s["c_s"][in_cs] // BLOCK) // rps).min())
+        g_lo = min(g_lo, n_g_total_t - n_g_store)
+        bwd_parts.append(pallas_band.build_band_arrays(
+            s["c_s"][in_cs], s["r_s"][in_cs], s["w_s"][in_cs], n_glob, rps,
+            bdtype, window=(w_t, clo_t), n_col=nb,
+            trim_groups=(g_lo, n_g_store),
+        ))
+        out = ~in_rc
+        res_r.append(s["r"][out] + k * nb)  # back to global rows
+        res_c.append(s["c"][out])
+        res_w.append(s["w"][out])
+
+    band = _stack_band_parts(fwd_parts, n_rb_loc, n_cb_glob, nb, rps, w_f,
+                             -(-n_rb_loc // rps), trimmed=False)
+    band_t = _stack_band_parts(bwd_parts, n_cb_glob, n_rb_loc, n_glob, rps,
+                               w_t, n_g_total_t, trimmed=True)
+    rr = np.concatenate(res_r) if res_r else np.zeros(0, np.int64)
+    rc = np.concatenate(res_c) if res_c else np.zeros(0, np.int64)
+    rw = np.concatenate(res_w) if res_w else np.zeros(0, np.float32)
+    bcsr, bcsr_t = _build_stacked_bcsr(
+        rr, rc, rw, rr // nb, n_shards, nb, dense_dtype
+    )
+    return band, band_t, bcsr, bcsr_t
 
 
 def _build_stacked_bcsr(row, col, w, shard_of, n_shards, nb, dense_dtype):

@@ -671,7 +671,9 @@ def test_stacked_band_matches_unsharded(rng):
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    ei, n = banded_toy(rng)
+    # large enough that the planner's rps leaves multiple transposed
+    # groups, so the row-range trim is actually exercised
+    ei, n = banded_toy(rng, n=5000, e=15000, bw=40)
     x = rng.normal(size=(n, 16)).astype(np.float32)
     g = build_graph(ei, None, n, "mean", materialize_dense=True)
     ref = np.asarray(spmm(g, jnp.asarray(x), "dense"))
@@ -859,3 +861,123 @@ def test_stacked_band_layouts_match_dense(rng, k, n, e, bw):
             dense[s * nb: (s + 1) * nb]
         ref_t = a_loc.T @ xloc
         np.testing.assert_allclose(out_t, ref_t, rtol=1e-4, atol=1e-4)
+
+
+def outlier_banded_toy(rng, n=2048, e=12000, bw=100, n_out_rows=8, n_out=300):
+    """Banded bulk plus a few far-range rows — the hybrid-split regime."""
+    src = rng.integers(0, n, e)
+    dst = np.clip(src + rng.integers(-bw, bw, size=e), 0, n - 1)
+    osrc = rng.choice(n, n_out_rows)[rng.integers(0, n_out_rows, n_out)]
+    odst = rng.integers(0, n, n_out)
+    s_all = np.concatenate([src, osrc])
+    d_all = np.concatenate([dst, odst])
+    return np.stack([np.concatenate([s_all, d_all]),
+                     np.concatenate([d_all, s_all])]), n
+
+
+def test_stacked_hybrid_matches_unsharded(rng):
+    """Per-shard hybrid split (sparse_layout='hybrid'): banded slabs over
+    per-group best windows + stacked-BCSR residue, summed inside shard_map;
+    forward and backward must match the unsharded dense path."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ei, n = outlier_banded_toy(rng)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    ref = np.asarray(spmm(g, jnp.asarray(x), "dense"))
+    ref_grad = np.asarray(jax.grad(
+        lambda v: (spmm(g, v, "dense") ** 2).sum()
+    )(jnp.asarray(x)))
+
+    K = 4
+    pg = partition_graph(ei, None, n, "mean", K, materialize_bcsr=True,
+                         sparse_layout="hybrid")
+    assert pg.band is not None and pg.bcsr is not None
+    mesh = make_mesh(graph_shards=K, data_shards=2)
+    xp = pg.pad_nodes(x)
+
+    def local_graph(gargs):
+        graph = pg.local_graph(*gargs[:3], None, "graph", *gargs[3:6])
+        graph = graph.replace(bcsr=pg.bcsr.local(gargs[6:13]),
+                              bcsr_t=pg.bcsr_t.local(gargs[13:20]))
+        return graph.replace(band=pg.band.local(gargs[20:23]),
+                              band_t=pg.band_t.local(gargs[23:26]))
+
+    def body(x_loc, *gargs):
+        return spmm(local_graph(gargs), x_loc, "pallas")
+
+    def grad_body(x_loc, *gargs):
+        graph = local_graph(gargs)
+        return jax.grad(lambda v: (spmm(graph, v, "pallas") ** 2).sum())(x_loc)
+
+    gargs = [jnp.asarray(a) for a in
+             (pg.row, pg.col, pg.weight, pg.loc_row, pg.loc_col,
+              pg.loc_weight)]
+    gspecs = [P("graph", None)] * 6
+    gargs += list(pg.bcsr.tree()) + list(pg.bcsr_t.tree())
+    gspecs += list(pg.bcsr.specs("graph")) + list(pg.bcsr_t.specs("graph"))
+    gargs += list(pg.band.tree()) + list(pg.band_t.tree())
+    gspecs += list(pg.band.specs("graph")) + list(pg.band_t.specs("graph"))
+
+    out = shard_map(
+        body, mesh=mesh, in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None), check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=1e-4, atol=1e-4)
+
+    gout = shard_map(
+        grad_body, mesh=mesh, in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None), check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    np.testing.assert_allclose(np.asarray(gout)[:n], ref_grad, rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_stacked_hybrid_auto_pick(rng):
+    """At scale, a narrow band + a few full-width rows makes the auto
+    planner choose the hybrid split (a full-width common window would be
+    VMEM-hostile and stream mostly zeros)."""
+    ei, n = outlier_banded_toy(rng, n=64 * 128, e=60000, bw=150,
+                               n_out_rows=6, n_out=800)
+    pg = partition_graph(ei, None, n, "mean", 4, materialize_bcsr=True)
+    assert pg.band is not None and pg.bcsr is not None
+    # the band window must be far narrower than the 64-block full profile
+    assert pg.band.w_blocks <= 16
+
+
+def test_sharded_hybrid_training_matches_single_device(rng):
+    """A ShardedTrainer on the hybrid split reproduces the unsharded
+    whole-epoch step end-to-end."""
+    ei, n = outlier_banded_toy(rng, n=1200, e=4000, bw=50, n_out_rows=3,
+                               n_out=60)
+    n_sub, L = 8, 5
+    pos = np.stack([rng.choice(n, size=L, replace=False) for _ in range(n_sub)])
+    y = rng.integers(0, 3, size=n_sub)
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=2,
+                  output_channels=(3,), pools=("size",), dropout=0.0,
+                  activation="elu", z_ratio=0.8, jk=True, spmm_mode="pallas")
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    cfg = TrainConfig(lr=1e-2, batch_size=n_sub, loss="ce", use_z=True)
+
+    g = build_graph(ei, None, n, "mean", materialize_dense=False,
+                    materialize_bcsr=True)
+    ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, donate=False)
+    params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
+    rngk = jax.random.PRNGKey(7)
+    ref_params, _, _, _, ref_loss = ref_tr._epoch(
+        params, opt_state, plateau, rngk,
+        jnp.asarray(pos[None]), jnp.asarray(y[None]),
+    )
+
+    pg = partition_graph(ei, None, n, "mean", 4, materialize_bcsr=True,
+                         sparse_layout="hybrid")
+    mesh = make_mesh(graph_shards=4, data_shards=2)
+    st = ShardedTrainer(model, pg, x, cfg, mesh)
+    assert st.has_band and st.has_bcsr
+    sh_params, sh_opt, sh_loss = st.train_step(
+        params, st.tx.init(params), plateau.lr, rngk, pos, y
+    )
+    np.testing.assert_allclose(float(sh_loss), float(ref_loss), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(sh_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-2)
