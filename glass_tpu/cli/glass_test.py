@@ -65,6 +65,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "save reads params+optimizer back from device)")
     parser.add_argument("--rcm", action="store_true",
                         help="RCM-reorder nodes (locality for --spmm pallas / partitioning)")
+    parser.add_argument("--sparse_layout", type=str, default="auto",
+                        choices=["auto", "bcsr", "band", "hybrid"],
+                        help="block-sparse layout for --spmm pallas "
+                             "(auto = cost-model planner)")
     parser.add_argument("--graph_shards", type=int, default=1,
                         help="node-partition the graph over this many devices")
     parser.add_argument("--data_shards", type=int, default=1,
@@ -150,6 +154,7 @@ def main(argv=None):
         resume=args.resume,
         ckpt_every=args.ckpt_every,
         rcm=args.rcm,
+        sparse_layout=args.sparse_layout,
         graph_shards=args.graph_shards,
         data_shards=args.data_shards,
         ring=args.ring,

@@ -84,6 +84,10 @@ class ExperimentConfig:
     # XLA inserts collectives) — requires graph_shards == 1. Default: the
     # explicit shard_map path when any shard count > 1.
     sharding: Optional[str] = None
+    # block-sparse layout for --spmm pallas: "auto" (cost-model planner) |
+    # "bcsr" | "band" | "hybrid" — applies to both the single-device
+    # build_graph and the sharded partition_graph
+    sparse_layout: str = "auto"
     # reverse Cuthill-McKee node reordering before building the graph:
     # concentrates edges near the diagonal (block-sparse/partition locality);
     # predictions are invariant under the relabeling
@@ -236,7 +240,8 @@ def _run_one(
                                  materialize_dense=spmm_mode == "dense",
                                  materialize_bcsr=spmm_mode == "pallas",
                                  dense_dtype=cfg.dense_dtype,
-                                 ring=cfg.ring and cfg.graph_shards > 1)
+                                 ring=cfg.ring and cfg.graph_shards > 1,
+                                 sparse_layout=cfg.sparse_layout)
             trainer = ShardedTrainer(model, pg, base.x, tcfg, mesh)
         else:
             graph = build_graph(
@@ -246,6 +251,7 @@ def _run_one(
                 ),
                 dense_dtype=cfg.dense_dtype,
                 materialize_bcsr=spmm_mode == "pallas",
+                sparse_layout=cfg.sparse_layout,
             )
             trainer = Trainer(model, graph, x, tcfg)
         if cache is not None:
