@@ -419,6 +419,7 @@ def _plan_block_sparse(
     band_rps: Optional[int],
     sparse_layout: str,
     pat_sym: bool,
+    with_costs: bool = False,
 ):
     """Chooses the block-sparse layout for the Pallas SpMM path.
 
@@ -435,13 +436,23 @@ def _plan_block_sparse(
     (n_steps x step_cost + streamed_bytes / stream_bps) and the cheapest
     wins; a hybrid additionally must beat the best single layout by
     ``_HYBRID_MARGIN`` and requires a pattern-symmetric adjacency (the
-    split is symmetrized so one window table serves A and A^T)."""
+    split is symmetrized so one window table serves A and A^T).
+
+    ``with_costs=True`` additionally returns the modeled cost (seconds) of
+    every scored candidate family as a 4th element — the stability test
+    (tests/test_planner.py) and the autotuner read it to check that layout
+    flips under cost-constant drift only happen between near-tied choices."""
     from glass_tpu.ops import pallas_band
 
+    def _ret(kind, rps, wb, costs=None):
+        if with_costs:
+            return kind, rps, wb, (costs or {})
+        return kind, rps, wb
+
     if sparse_layout == "bcsr":
-        return "bcsr", None, None
+        return _ret("bcsr", None, None)
     if band_rps is not None and sparse_layout != "hybrid":
-        return "band", int(band_rps), None
+        return _ret("band", int(band_rps), None)
     row = np.asarray(row)
     col = np.asarray(col)
     keep = np.asarray(w) != 0
@@ -449,7 +460,7 @@ def _plan_block_sparse(
     itemsize = 2 if dense_dtype == "bf16" else 4
     h_pad = 128  # the common GLASS hidden sizes (<=128) pad to one lane tile
     if r_.size == 0:
-        return "bcsr", None, None
+        return _ret("bcsr", None, None)
     # Sort by row ONCE: the per-rps group keys (row // BLOCK) // rps are all
     # monotone in row, so every band_stats/_group_minmax call below hits the
     # already-sorted fast path instead of argsorting 2E edges per rps (the
@@ -475,8 +486,8 @@ def _plan_block_sparse(
             best, best_cost = ("band", rps, None), cost
     if sparse_layout == "band":
         if band_candidates:
-            return "band", min(band_candidates)[1], None
-        return "band", 8, None  # forced; VMEM gate bypassed at caller's risk
+            return _ret("band", min(band_candidates)[1], None)
+        return _ret("band", 8, None)  # forced; VMEM gate bypassed at caller's risk
 
     hybrid_best = None  # (cost, rps, w)
     if pat_sym:
@@ -542,16 +553,21 @@ def _plan_block_sparse(
             + _bcsr_cost_model(r_[~in_band], c_[~in_band], n_node, itemsize)
         )
         hybrid_best = (exact, rps_h, wb_h)
+    costs = {"bcsr": bcsr_cost}
+    if band_candidates:
+        costs["band"] = min(band_candidates)[0]
+    if hybrid_best is not None:
+        costs["hybrid"] = hybrid_best[0]
     if sparse_layout == "hybrid":
         if hybrid_best is None:
             raise ValueError(
                 "sparse_layout='hybrid' requires a pattern-symmetric "
                 "adjacency with a feasible band window"
             )
-        return "hybrid", hybrid_best[1], hybrid_best[2]
+        return _ret("hybrid", hybrid_best[1], hybrid_best[2], costs)
     if hybrid_best is not None and hybrid_best[0] < _HYBRID_MARGIN * best_cost:
-        return "hybrid", hybrid_best[1], hybrid_best[2]
-    return best
+        return _ret("hybrid", hybrid_best[1], hybrid_best[2], costs)
+    return _ret(best[0], best[1], best[2], costs)
 
 
 def degrees(edge_index: np.ndarray, edge_weight: Optional[np.ndarray], n_node: int) -> np.ndarray:

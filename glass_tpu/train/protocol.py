@@ -128,18 +128,20 @@ def _auto_route(cfg: ExperimentConfig, n_node: int, backend: str):
     segment path). RCM is prediction-invariant (tested) and the BCSR path
     is training-complete, so this changes speed, not results.
 
-    Covers the single-device trainer and explicit-sharded runs (the
-    ShardedTrainer materializes per-shard rectangular BCSR layouts,
-    parallel/partition.py::StackedBCSR). GSPMD ``sharding='auto'`` keeps the
-    default segment path: it traces one global program where the host-side
-    layout lookup cannot run on tracers."""
+    Covers all three trainer modes: the single-device trainer, explicit-
+    sharded runs (the ShardedTrainer materializes per-shard rectangular BCSR
+    layouts, parallel/partition.py::StackedBCSR), and GSPMD
+    ``sharding='auto'`` — the AutoTrainer's graph (and its planner-chosen
+    band/BCSR layout) is materialized host-side in build_graph *before* the
+    global program is traced, so the layouts ride the trace as replicated
+    stacked operands exactly as the explicit path's do."""
     from glass_tpu.ops.graph import DENSE_NODE_LIMIT
 
     if (
         cfg.spmm_mode is None
         and n_node > DENSE_NODE_LIMIT
         and backend == "tpu"
-        and cfg.sharding is None
+        and cfg.sharding in (None, "auto")
     ):
         return "pallas", True
     return cfg.spmm_mode, cfg.rcm
@@ -226,6 +228,7 @@ def _run_one(
                 ),
                 dense_dtype=cfg.dense_dtype,
                 materialize_bcsr=spmm_mode == "pallas",
+                sparse_layout=cfg.sparse_layout,
             )
             trainer = AutoTrainer(model, graph, x, tcfg, mesh)
         elif cfg.graph_shards > 1 or cfg.data_shards > 1:

@@ -15,6 +15,17 @@ import torch
 from glass_tpu.ops.graph import build_graph
 from glass_tpu.nn.modules import GLASSConv, EmbZGConv, GLASS, MLP, TorchLinear
 from glass_tpu.nn.pretrain import MyGCNConv, EmbGConv, EdgeGNN
+# single source of reference truth (VERDICT r2 item 6): the same oracle that
+# backs the measured baseline is what the flax modules are checked against
+from glass_tpu.testing.oracle import (
+    t_adj,
+    t_embzgconv,
+    t_glass,
+    t_glassconv,
+    t_graphnorm,
+    t_linear,
+    make_oracle_modules,
+)
 
 N, H, E2 = 40, 8, 120
 
@@ -24,68 +35,6 @@ def small_graph(rng, aggr="mean"):
     dst = rng.integers(0, N, size=E2 // 2)
     ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
     return ei, build_graph(ei, None, N, aggr, materialize_dense=True)
-
-
-# ---------------- torch oracle (reference math, f32) ----------------
-
-
-def t_linear(x, kernel, bias):
-    return x @ torch.tensor(np.asarray(kernel)) + torch.tensor(np.asarray(bias))
-
-
-def t_graphnorm(x, p):
-    w = torch.tensor(np.asarray(p["weight"]))
-    b = torch.tensor(np.asarray(p["bias"]))
-    ms = torch.tensor(np.asarray(p["mean_scale"]))
-    mean = x.mean(dim=0, keepdim=True)
-    out = x - mean * ms
-    var = out.pow(2).mean(dim=0, keepdim=True)
-    return w * out / (var + 1e-5).sqrt() + b
-
-
-def t_adj(ei, n, aggr):
-    a = torch.zeros(n, n)
-    for r, c in zip(ei[0], ei[1]):
-        a[r, c] += 1.0
-    deg = a.sum(1)
-    deg[deg < 0.5] += 1.0
-    if aggr == "mean":
-        return a / deg[:, None]
-    if aggr == "sum":
-        return a
-    ds = deg.pow(-0.5)
-    return ds[:, None] * a * ds[None, :]
-
-
-def t_glassconv(x, adj, mask, p, z_ratio, act):
-    def mix(x1, x0):
-        return torch.where(mask, z_ratio * x1 + (1 - z_ratio) * x0,
-                           z_ratio * x0 + (1 - z_ratio) * x1)
-
-    x1 = act(t_linear(x, p["trans_1"]["kernel"], p["trans_1"]["bias"]))
-    x0 = act(t_linear(x, p["trans_0"]["kernel"], p["trans_0"]["bias"]))
-    h = mix(x1, x0)
-    h = adj @ h
-    h = t_graphnorm(h, p["gn"])
-    h = torch.cat([h, x], dim=-1)
-    x1 = t_linear(h, p["comb_1"]["kernel"], p["comb_1"]["bias"])
-    x0 = t_linear(h, p["comb_0"]["kernel"], p["comb_0"]["bias"])
-    return mix(x1, x0)
-
-
-def t_embzgconv(x_int, z, adj, p, num_layers, z_ratio, act, jk=True):
-    mask = torch.tensor(np.asarray(z) > 0.5).reshape(-1, 1)
-    h = torch.tensor(np.asarray(p["input_emb"]["embedding"]))[torch.tensor(x_int)]
-    h = t_graphnorm(h, p["emb_gn"])
-    xs = []
-    for layer in range(num_layers):
-        h = t_glassconv(h, adj, mask, p[f"conv_{layer}"], z_ratio, act)
-        xs.append(h)
-        if layer < num_layers - 1:
-            h = t_graphnorm(h, p[f"gn_{layer}"])
-            h = act(h)
-    h = torch.cat(xs, dim=-1) if jk else xs[-1]
-    return t_graphnorm(h, p["gn_out"])
 
 
 # ---------------- tests ----------------
@@ -150,7 +99,7 @@ def test_glass_full_model_matches_oracle(rng):
         sel = emb[torch.tensor(nodes)]
         pooled.append(sel.sum(0) / np.sqrt(len(nodes)))  # SizePool
     pooled = torch.stack(pooled)
-    ref = t_linear(pooled, p["pred_0"]["kernel"], p["pred_0"]["bias"])
+    ref = t_linear(pooled, p["pred_0"])
     np.testing.assert_allclose(np.asarray(logits), ref.numpy(), rtol=1e-3, atol=1e-4)
 
 
@@ -232,11 +181,11 @@ def test_mygcnconv_and_embgconv(rng):
     out = m.apply(params, g, jnp.asarray(x))
     # oracle: act(linear) -> adj@ -> gn -> concat -> linear
     p = jax.tree.map(np.asarray, params["params"])
-    h = torch.relu(t_linear(torch.tensor(x), p["trans"]["kernel"], p["trans"]["bias"]))
+    h = torch.relu(t_linear(torch.tensor(x), p["trans"]))
     h = t_adj(ei, N, "mean") @ h
     h = t_graphnorm(h, p["gn"])
     h = torch.cat([h, torch.tensor(x)], dim=-1)
-    ref = t_linear(h, p["comb"]["kernel"], p["comb"]["bias"])
+    ref = t_linear(h, p["comb"])
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=2e-4, atol=2e-5)
 
     trunk = EmbGConv(hidden_channels=H, output_channels=H, num_layers=2,
@@ -273,7 +222,59 @@ def test_mlp_matches_reference_ordering(rng):
     params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
     out = m.apply(params, jnp.asarray(x))
     p = jax.tree.map(np.asarray, params["params"])
-    h = t_linear(torch.tensor(x), p["TorchLinear_0"]["kernel"], p["TorchLinear_0"]["bias"])
+    h = t_linear(torch.tensor(x), p["TorchLinear_0"])
     h = torch.relu(h)
-    ref = t_linear(h, p["TorchLinear_1"]["kernel"], p["TorchLinear_1"]["bias"])
+    ref = t_linear(h, p["TorchLinear_1"])
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_embzgconv_z_none_matches_oracle(rng):
+    """z=None quirk parity (impl/models.py:241-245): both the flax trunk and
+    the torch oracle must build the all-TRUE mask — VERDICT r2 item 6 caught
+    one oracle copy getting this backwards."""
+    ei, g = small_graph(rng, "sum")
+    x_int = rng.integers(0, 5, size=N).astype(np.int32)
+    m = EmbZGConv(hidden_channels=H, output_channels=H, num_layers=2,
+                  max_deg=4, dropout=0.0, activation="elu", z_ratio=0.7, jk=True)
+    params = m.init(jax.random.PRNGKey(3), g, jnp.asarray(x_int), None)
+    out = m.apply(params, g, jnp.asarray(x_int), None)
+    ref = t_embzgconv(x_int.astype(np.int64), None, t_adj(ei, N, "sum"),
+                      jax.tree.map(np.asarray, params["params"]), 2, 0.7,
+                      torch.nn.functional.elu, jk=True)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=5e-4, atol=5e-5)
+
+
+def test_oracle_modules_match_functional(rng):
+    """The trainable torch modules (used by tools/oracle_baseline.py) must
+    compute exactly the functional t_glass math with their own weights —
+    one source of reference truth (VERDICT r2 item 6)."""
+    mods = make_oracle_modules()
+    cfg = dict(hidden_dim=H, conv_layer=2, dropout=0.0, z_ratio=0.7,
+               aggr="gcn", pool="size")
+    torch.manual_seed(0)
+    model = mods["TGLASS"](cfg, 4, 3)
+    model.eval()
+
+    src = rng.integers(0, N, size=E2 // 2)
+    dst = rng.integers(0, N, size=E2 // 2)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    x_int = rng.integers(0, 5, size=(N,)).astype(np.int64)
+    pos = np.array([[0, 1, 2, -1], [5, 6, 7, 8]])
+    z = (rng.random(N) < 0.3).astype(np.float32)
+
+    with torch.no_grad():
+        out_mod = model(torch.tensor(x_int), torch.tensor(ei.astype(np.int64)),
+                        torch.tensor(pos), torch.tensor(z))
+        params = {"conv": model.conv.flax_params(),
+                  "pred_0": {"kernel": model.pred.weight.t(),
+                             "bias": model.pred.bias}}
+        out_fn = t_glass(x_int, z, pos, ei, N, "gcn", params, 2, 0.7, "size")
+    np.testing.assert_allclose(out_mod.numpy(), out_fn.numpy(), rtol=1e-5, atol=1e-6)
+
+    # z=None path on the module side too (the fixed quirk)
+    with torch.no_grad():
+        out_none = model(torch.tensor(x_int), torch.tensor(ei.astype(np.int64)),
+                         torch.tensor(pos), None)
+        out_ones = model(torch.tensor(x_int), torch.tensor(ei.astype(np.int64)),
+                         torch.tensor(pos), torch.ones(N))
+    np.testing.assert_allclose(out_none.numpy(), out_ones.numpy(), rtol=1e-6)

@@ -156,10 +156,10 @@ def test_density_short_run_reaches_signal():
 
 
 def test_auto_route_gate():
-    """TPU auto-routing to the Pallas BCSR path covers the single-device
-    trainer AND explicit-sharded runs (per-shard StackedBCSR layouts), but
-    not GSPMD sharding='auto' (one traced global program — the host-side
-    layout lookup would hit tracers, TracerArrayConversionError)."""
+    """TPU auto-routing to the Pallas BCSR path covers all three trainer
+    modes: single-device, explicit-sharded (per-shard StackedBCSR layouts),
+    and GSPMD sharding='auto' (layouts prebuilt host-side before the global
+    trace — VERDICT r2 item 4)."""
     from glass_tpu.train.protocol import ExperimentConfig, _auto_route
 
     big = 20000  # > DENSE_NODE_LIMIT
@@ -171,11 +171,31 @@ def test_auto_route_gate():
                dict(graph_shards=2, data_shards=2)):
         cfg = ExperimentConfig(**base, **kw)
         assert _auto_route(cfg, big, "tpu") == ("pallas", True)
-    # GSPMD auto mode keeps the default (segment) path
+    # GSPMD auto mode routes too: its graph (and planner layout) is built
+    # before trace, so the fast kernels ride as replicated operands
     cfg = ExperimentConfig(**base, sharding="auto")
-    assert _auto_route(cfg, big, "tpu") == (None, False)
+    assert _auto_route(cfg, big, "tpu") == ("pallas", True)
     # CPU backend / small graphs / explicit mode are untouched
     assert _auto_route(ExperimentConfig(**base), big, "cpu") == (None, False)
     assert _auto_route(ExperimentConfig(**base), 100, "tpu") == (None, False)
     cfg = ExperimentConfig(dataset="density", spmm_mode="segment")
     assert _auto_route(cfg, big, "tpu") == ("segment", False)
+
+
+def test_gspmd_protocol_run_with_pallas_layout(tmp_path):
+    """End-to-end: a GSPMD (sharding='auto') protocol run over a prebuilt
+    block-sparse layout — the routing _auto_route now selects above the
+    dense limit (the layout build itself happens pre-trace in build_graph).
+    Forced here via spmm_mode='pallas' on a small graph so it runs on the
+    CPU mesh in interpret mode."""
+    from glass_tpu.train.protocol import ExperimentConfig, run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="density", pool="size", aggr="sum", hidden_dim=8,
+        conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=8,
+        repeat=1, max_epochs=3, feature="one",
+        sharding="auto", data_shards=8, spmm_mode="pallas",
+    )
+    logs = []
+    scores, mean, err = run_experiment(cfg, log=logs.append)
+    assert len(scores) == 1 and 0.0 <= mean <= 1.0
