@@ -52,7 +52,7 @@ def load_density_graph():
         return ei, n
 
 
-def bench_glass_tpu(ei, n, hidden=64, iters=200):
+def bench_glass_tpu(ei, n, hidden=64):
     import jax
     import jax.numpy as jnp
     from glass_tpu.ops.graph import build_graph
@@ -70,18 +70,18 @@ def bench_glass_tpu(ei, n, hidden=64, iters=200):
         graph = build_graph(ei, None, n, "gcn", materialize_dense=True,
                             dense_dtype=ddtype)
 
-        @jax.jit
-        def many(x0, graph=graph, mode=mode):
-            def step(h, _):
-                return spmm(graph, h, mode), None
+        def make(iters, graph=graph, mode=mode):
+            @jax.jit
+            def many(x0):
+                def step(h, _):
+                    return spmm(graph, h, mode), None
 
-            h, _ = jax.lax.scan(step, x0, None, length=iters)
-            return h
+                h, _ = jax.lax.scan(step, x0, None, length=iters)
+                return h
 
-        _sync(many(x))  # compile
-        t0 = time.perf_counter()
-        _sync(many(x))
-        dt = (time.perf_counter() - t0) / iters
+            return many
+
+        dt = _diff_timed(make, (x,), 200, 800)
         eps = graph.n_edge / dt
         print(f"  glass_tpu spmm[{name}]: {dt * 1e6:.1f} us/iter = {eps / 1e9:.3f} G edges/s",
               file=sys.stderr)
@@ -123,6 +123,23 @@ def _timed(fn, *args):
     return time.perf_counter() - t0
 
 
+def _diff_timed(make_fn, args, lo, hi, tries=3):
+    """Per-iteration time via DIFFERENTIAL dispatch timing: build the scan at
+    two lengths and divide the wall-clock delta by the iteration delta.
+
+    Round-3 finding: a dispatch through the remote-TPU tunnel carries a
+    ~27 ms floor (RTT + readback) regardless of compute, so total/iters at
+    iters=100 inflates a 100 us kernel to ~370 us — every round-2 per-iter
+    number carried that bias. The difference of two dispatch times cancels
+    the floor exactly."""
+    f_lo, f_hi = make_fn(lo), make_fn(hi)
+    _sync(f_lo(*args))
+    _sync(f_hi(*args))
+    t_lo = min(_timed(f_lo, *args) for _ in range(tries))
+    t_hi = min(_timed(f_hi, *args) for _ in range(tries))
+    return max(t_hi - t_lo, 1e-9) / (hi - lo)
+
+
 def clustered_graph(n_comm=448, csz=128, e=4500000, intra_frac=0.95):
     """em_user-scale synthetic with community structure (cross edges between
     chain-adjacent communities), standing in for an RCM-ordered real graph.
@@ -142,10 +159,11 @@ def clustered_graph(n_comm=448, csz=128, e=4500000, intra_frac=0.95):
     return np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])]), n
 
 
-def bench_bcsr_large(hidden=64, iters=100):
-    """BCSR kernel at em_user scale: f32 and bf16 forward, plus training
-    (fwd + transposed-kernel bwd) throughput. Returns the best forward
-    edges/s as the headline."""
+def bench_bcsr_large(hidden=64):
+    """Block-sparse kernel at em_user scale: f32 and bf16 forward, plus
+    training (fwd + transposed-kernel bwd) throughput, all differentially
+    timed (see _diff_timed). Returns the best forward edges/s as the
+    headline."""
     import jax
     import jax.numpy as jnp
     from glass_tpu.ops.graph import build_graph
@@ -162,62 +180,64 @@ def bench_bcsr_large(hidden=64, iters=100):
     for ddtype in ("f32", "bf16"):
         graph = build_graph(ei, None, n, "gcn", materialize_dense=False,
                             materialize_bcsr=True, dense_dtype=ddtype)
-        if ddtype == "f32":
-            if graph.band is not None:
-                b = graph.band
-                print(f"  layout: banded slabs (rps={b.rps}, window="
-                      f"{b.w_blocks} blocks, {b.n_groups} groups, "
-                      f"{b.slabs.size * b.slabs.dtype.itemsize / 1e6:.0f} MB)",
-                      file=sys.stderr)
-            else:
-                nnzb = graph.bcsr.nnz_blocks
-                print(f"  layout: chunked bcsr, {nnzb} stored 128x128 blocks "
-                      f"({100 * nnzb / graph.bcsr.n_rb**2:.1f}%)",
-                      file=sys.stderr)
+        if graph.band is not None:
+            b = graph.band
+            print(f"  layout[{ddtype}]: banded slabs (rps={b.rps}, window="
+                  f"{b.w_blocks} blocks, {b.n_groups} groups, affine="
+                  f"({b.affine_stride},{b.affine_off}), "
+                  f"{b.slabs.size * b.slabs.dtype.itemsize / 1e6:.0f} MB)",
+                  file=sys.stderr)
+        else:
+            nnzb = graph.bcsr.nnz_blocks
+            print(f"  layout[{ddtype}]: chunked bcsr, {nnzb} stored 128x128 "
+                  f"blocks ({100 * nnzb / graph.bcsr.n_rb**2:.1f}%)",
+                  file=sys.stderr)
 
-        @jax.jit
-        def many(x0, graph=graph):
-            def step(h, _):
-                return spmm(graph, h, "pallas"), None
+        def make_fwd(iters, graph=graph):
+            @jax.jit
+            def many(x0):
+                def step(h, _):
+                    return spmm(graph, h, "pallas"), None
 
-            h, _ = jax.lax.scan(step, x0, None, length=iters)
-            return h
+                h, _ = jax.lax.scan(step, x0, None, length=iters)
+                return h
 
-        # one dispatch covers `iters` scan steps; best-of-2 timed dispatches
-        # still carries one tunnel round-trip (~20 ms through the remote-TPU
-        # proxy), so keep iters high enough that it amortizes below the noise
-        _sync(many(x))
-        dt = min(_timed(many, x), _timed(many, x)) / iters
+            return many
+
+        dt = _diff_timed(make_fwd, (x,), 200, 800)
         eps = graph.n_edge / dt
-        print(f"  glass_tpu spmm[pallas-bcsr-{ddtype}]: {dt * 1e6:.1f} us/iter"
+        print(f"  glass_tpu spmm[pallas-{ddtype}]: {dt * 1e6:.1f} us/iter"
               f" = {eps / 1e9:.3f} G edges/s", file=sys.stderr)
         best = max(best, eps)
 
         # training: fwd + bwd (dx = A^T @ g through the same kernel);
         # edges/s counts both traversals (VERDICT round-1 item 1)
-        @jax.jit
-        def many_grad(x0, graph=graph):
-            def step(h, _):
-                # (.)**2 makes the cotangent depend on the forward output, so
-                # XLA cannot dead-code-eliminate the forward kernel — this
-                # really measures fwd + bwd
-                g = jax.grad(lambda v: (spmm(graph, v, "pallas") ** 2).sum())(h)
-                return g, None
+        def make_grad(iters, graph=graph):
+            @jax.jit
+            def many(x0):
+                def step(h, _):
+                    # (.)**2 makes the cotangent depend on the forward
+                    # output, so XLA cannot DCE the forward kernel
+                    g = jax.grad(
+                        lambda v: (spmm(graph, v, "pallas") ** 2).sum()
+                    )(h)
+                    return g, None
 
-            h, _ = jax.lax.scan(step, x0, None, length=iters)
-            return h
+                h, _ = jax.lax.scan(step, x0, None, length=iters)
+                return h
 
-        _sync(many_grad(x))
-        dt = min(_timed(many_grad, x), _timed(many_grad, x)) / iters
+            return many
+
+        dt = _diff_timed(make_grad, (x,), 100, 400)
         teps = 2 * graph.n_edge / dt
-        print(f"  glass_tpu spmm[pallas-bcsr-{ddtype}] fwd+bwd: "
+        print(f"  glass_tpu spmm[pallas-{ddtype}] fwd+bwd: "
               f"{dt * 1e6:.1f} us/iter = {teps / 1e9:.3f} G edges/s "
               f"({100 * teps / (2 * eps):.0f}% of fwd-only)", file=sys.stderr)
     return best, ei, n
 
 
 def bench_e2e_training(ei, n, hidden=64, layers=1, batch=6, sub_size=32,
-                       steps=128):
+                       steps=512):
     """End-to-end GLASS training throughput on the 9M-edge workload: the
     whole-epoch lax.scan the protocol actually runs (labeling -> trunk ->
     pool -> head -> loss -> backward -> Adam), bf16 activation stream, auto
@@ -249,15 +269,23 @@ def bench_e2e_training(ei, n, hidden=64, layers=1, batch=6, sub_size=32,
     params, opt_state, plateau = tr.init(0, pos_b[0])
     key = jax.random.PRNGKey(1)
 
-    out = tr.train_epoch(params, opt_state, plateau, key, pos_b, y_b)
-    _sync(out[-1].reshape(1))  # compile + warm
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        out = tr.train_epoch(params, opt_state, plateau, key, pos_b, y_b)
+    # differential over two epoch lengths (cancels the ~27 ms dispatch floor)
+    lo = steps // 4
+
+    def run_epoch(pb, yb):
+        out = tr.train_epoch(params, opt_state, plateau, key, pb, yb)
         _sync(out[-1].reshape(1))
-        best = min(best, time.perf_counter() - t0)
-    dt = best / steps
+        return out
+
+    out = run_epoch(pos_b[:lo], y_b[:lo])  # compile lo
+    out = run_epoch(pos_b, y_b)  # compile hi
+    t_lo = min(_timed(lambda: tr.train_epoch(
+        params, opt_state, plateau, key, pos_b[:lo], y_b[:lo])[-1].reshape(1))
+        for _ in range(2))
+    t_hi = min(_timed(lambda: tr.train_epoch(
+        params, opt_state, plateau, key, pos_b, y_b)[-1].reshape(1))
+        for _ in range(2))
+    dt = max(t_hi - t_lo, 1e-9) / (steps - lo)
     sps = 1.0 / dt
     eps = 2 * ei.shape[1] * layers / dt
     print(f"  e2e training (hidden {hidden}, {layers} layer, batch {batch}, "

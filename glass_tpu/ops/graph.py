@@ -287,10 +287,36 @@ def build_graph(
             if kind_t != "band":
                 kind = "bcsr"
         if kind == "band":
-            band = pallas_band.build_band(r_, c_, w_, n_node, rps, dtype=bdtype)
-            band_t = band if symmetric else pallas_band.build_band(
-                c_, r_, w_, n_node, rps_t, dtype=bdtype
-            )
+            itemsize_b = 2 if dense_dtype == "bf16" else 4
+
+            def _maybe_affine(rr, cc, ww, rps_):
+                """Affine (block-DIA) law when its byte inflation over the
+                per-group windows stays under 1.5x: the static affine kernel
+                runs 2 DMAs per multi-group step instead of 1+ per group,
+                which the measured per-DMA fixed cost (~1.3 us; see
+                RESULTS.md round 3) makes worth up to ~1.5x extra bytes."""
+                fit = pallas_band.affine_fit(rr, cc, ww, n_node, rps_)
+                if fit is None:
+                    return None
+                _, _, w_aff = fit
+                wb_pg, _, _, _ = pallas_band.band_stats(
+                    rr, cc, np.ones_like(rr), n_node, rps_
+                )
+                if w_aff <= max(wb_pg + 1, int(1.5 * wb_pg)) and \
+                        pallas_band.band_vmem_ok(rps_, w_aff, 128, itemsize_b):
+                    return fit
+                return None
+
+            aff = _maybe_affine(r_, c_, w_, rps)
+            band = pallas_band.build_band(r_, c_, w_, n_node, rps,
+                                          dtype=bdtype, affine=aff)
+            if symmetric:
+                band_t = band
+            else:
+                aff_t = _maybe_affine(c_, r_, w_, rps_t)
+                band_t = pallas_band.build_band(
+                    c_, r_, w_, n_node, rps_t, dtype=bdtype, affine=aff_t
+                )
         elif kind == "hybrid":
             # split A = A_band + A_outlier; the split is symmetrized (an edge
             # is in-band only if its mirror is too), so the same clo window

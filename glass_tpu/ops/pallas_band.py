@@ -54,9 +54,12 @@ from glass_tpu.ops._pallas_common import (
 )
 NBUF = 2  # x-window double buffering
 
-# Per-step VMEM budget (slab double-buffer + x windows + out block) — v5e has
-# ~16 MiB/core; leave headroom for Mosaic's own allocations.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# Per-step VMEM budget (slab double-buffer + x windows + out block) — v5e's
+# scoped VMEM limit is 16 MiB; all accounting here uses LANE-PADDED widths
+# (a (N, 64) buffer physically occupies (N, 128)), so the budget can sit
+# close to the hardware limit. The whole-x bf16 path at em_user scale needs
+# 15.46 MiB and compiles; 18 MiB OOMs (both observed on the live chip).
+_VMEM_BUDGET = int(15.5 * 1024 * 1024)
 
 
 @struct.dataclass
@@ -85,6 +88,12 @@ class BandedAdj:
     # row-range trim: first stored group (traced scalar) + total group count
     g_lo: Optional[jnp.ndarray] = None
     n_g_total: int = struct.field(pytree_node=False, default=0)
+    # affine (block-DIA) window law: clo[g] == g*affine_stride + affine_off
+    # exactly (may be negative at the top edge — the SpMM pads x). Static, so
+    # the affine kernel needs NO scalar prefetch and one contiguous x-panel
+    # DMA covers a whole multi-group step. None = per-group windows.
+    affine_stride: Optional[int] = struct.field(pytree_node=False, default=None)
+    affine_off: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def n_groups(self) -> int:
@@ -227,6 +236,46 @@ def best_windows(cs, w: int):
     return clo, covered
 
 
+def affine_fit(row, col, weight, n_node: int, rps: int, n_col=None):
+    """Fits an affine window law clo[g] = g*stride + off over the row-block
+    groups (the block-DIA view of an RCM-ordered graph). Returns
+    ``(stride, off, w_blocks)`` such that every group's column span fits
+    [g*stride + off, g*stride + off + w_blocks), or None for an empty graph.
+
+    ``off`` may be negative (top edge) and windows may overhang n_cb at the
+    bottom — the SpMM pads x instead of clamping, preserving the exact
+    affine law the static kernel relies on."""
+    row = np.asarray(row)
+    col = np.asarray(col)
+    keep = np.asarray(weight) != 0
+    row, col = row[keep], col[keep]
+    if row.size == 0:
+        return None
+    n_rb = -(-n_node // BLOCK)
+    n_cb = -(-(n_col if n_col is not None else n_node) // BLOCK)
+    n_g = -(-n_rb // rps)
+    lo, hi = _group_minmax((row // BLOCK) // rps, col // BLOCK, n_g, n_cb)
+    present = hi > 0
+    g = np.flatnonzero(present)
+    if g.size == 1:
+        stride = 0
+    else:
+        # least-squares slope over present groups, snapped to int
+        gm = g - g.mean()
+        stride = int(round(float((gm * (lo[g] - lo[g].mean())).sum()
+                                 / max((gm * gm).sum(), 1e-9))))
+        stride = max(stride, 0)
+    r_lo = lo[g] - g * stride
+    r_hi = hi[g] - g * stride
+    off = int(r_lo.min())
+    w = int(r_hi.max()) - off
+    return stride, off, w
+
+
+def affine_clo(n_g: int, stride: int, off: int) -> np.ndarray:
+    return (np.arange(n_g, dtype=np.int64) * stride + off).astype(np.int32)
+
+
 def band_vmem_ok(rps: int, w_blocks: int, h_pad: int, itemsize: int) -> bool:
     """True if the kernel's per-step working set fits the VMEM budget."""
     slab = 2 * rps * BLOCK * w_blocks * BLOCK * itemsize  # double-buffered
@@ -310,8 +359,20 @@ def build_band_arrays(row, col, weight, n_node: int, rps: int = 8, dtype="float3
 
 
 def build_band(row, col, weight, n_node: int, rps: int = 8, dtype="float32",
-               window=None, n_col=None, trim_groups=None) -> BandedAdj:
-    """Device-placed banded adjacency (see build_band_arrays)."""
+               window=None, n_col=None, trim_groups=None,
+               affine=None) -> BandedAdj:
+    """Device-placed banded adjacency (see build_band_arrays).
+
+    ``affine``: optional (stride, off, w_blocks) from :func:`affine_fit` —
+    forces the affine window law (block-DIA layout) and marks the result so
+    the SpMM takes the static multi-group kernel."""
+    a_stride = a_off = None
+    if affine is not None:
+        if window is not None:
+            raise ValueError("affine and window are mutually exclusive")
+        a_stride, a_off, w_aff = affine
+        n_rb = -(-n_node // BLOCK)
+        window = (w_aff, affine_clo(-(-n_rb // rps), a_stride, a_off))
     a = build_band_arrays(row, col, weight, n_node, rps, dtype, window=window,
                           n_col=n_col, trim_groups=trim_groups)
     return BandedAdj(
@@ -325,6 +386,8 @@ def build_band(row, col, weight, n_node: int, rps: int = 8, dtype="float32",
         g_lo=(None if trim_groups is None
               else jnp.asarray(a["g_lo"], dtype=jnp.int32)),
         n_g_total=a["n_g_total"],
+        affine_stride=a_stride,
+        affine_off=a_off,
     )
 
 
@@ -402,6 +465,189 @@ def _band_kernel_xvmem(
         preferred_element_type=jnp.float32,
         precision=_precision_for(block_dtype),
     )
+
+
+def _band_kernel_xvmem_gps(
+    clo_ref,  # scalar prefetch: (n_g,) window starts
+    x_hbm,  # (n_cb*BLOCK, H) HBM — loaded into xfull ONCE at step 0
+    slab_ref,  # (gps, rps*BLOCK, W*BLOCK) VMEM — auto-pipelined multi-group block
+    out_ref,  # (gps*rps*BLOCK, H) VMEM — auto-pipelined regular output
+    xfull,  # (n_cb*BLOCK, H) VMEM — persists across all grid steps
+    xsem,
+    *,
+    block_dtype,
+    wb,
+    rps,
+    gps,
+):
+    """Multi-group whole-x-in-VMEM variant (the roofline fix, RESULTS.md
+    round 3): one grid step fetches ``gps`` consecutive groups' slabs as ONE
+    auto-pipelined block — gps x larger DMA transfers — and runs gps MXU
+    dots against their windows of the persistent x. Measured on v5e: a
+    single DMA stream reaches ~675 GB/s once transfers are MB-scale
+    (tools/hbm_probe.py), so per-step slab bytes, not stream count, set the
+    kernel's bandwidth; the rps=2 layout's 256 KB steps were the round-2
+    ~156 GB/s ceiling."""
+    i = pl.program_id(0)
+    xdma = pltpu.make_async_copy(x_hbm, xfull, xsem)
+
+    @pl.when(i == 0)
+    def _():
+        xdma.start()
+        xdma.wait()
+
+    for j in range(gps):
+        g = i * gps + j
+        out_ref[j * rps * BLOCK:(j + 1) * rps * BLOCK, :] = jnp.dot(
+            slab_ref[j],
+            xfull[
+                pl.ds(pl.multiple_of(clo_ref[g] * BLOCK, BLOCK), wb * BLOCK), :
+            ].astype(block_dtype),
+            preferred_element_type=jnp.float32,
+            precision=_precision_for(block_dtype),
+        )
+
+
+def _lane_pad(h: int) -> int:
+    """VMEM (and tiled-HBM) arrays pad the minor dim to 128 lanes; all VMEM
+    accounting must use the padded width (learned the hard way: a 57k x 64
+    bf16 scratch is 14.7 MB, not 7.3)."""
+    return -(-h // 128) * 128
+
+
+def _pick_gps(n_g: int, per_group_bytes: int, fixed_bytes: int) -> int:
+    """Largest divisor of n_g (<= 32) such that
+    ``fixed_bytes + gps * per_group_bytes`` fits the VMEM budget. 1 = the
+    single-group kernels (also the fallback when n_g has no small
+    divisors)."""
+    for gps in (32, 16, 8, 28, 14, 7, 4, 2):
+        if n_g % gps:
+            continue
+        if fixed_bytes + gps * per_group_bytes <= _VMEM_BUDGET:
+            return gps
+    return 1
+
+
+def _band_kernel_gps(
+    clo_ref,  # scalar prefetch: (n_g,) window starts
+    x_hbm,  # (n_cb*BLOCK [+pad], Hpad) HBM
+    slab_ref,  # (gps, rps*BLOCK, W*BLOCK) VMEM — auto-pipelined multi-group
+    out_ref,  # (gps*rps*BLOCK, Hpad) VMEM — auto-pipelined regular output
+    xwin,  # (NBUF, gps, W*BLOCK, Hpad) VMEM scratch
+    sems,  # (NBUF, gps) DMA semaphores
+    *,
+    block_dtype,
+    n_sg,
+    wb,
+    rps,
+    gps,
+):
+    """Streamed multi-group variant: one grid step = ONE gps-group slab
+    block (auto-pipelined — a single MB-scale DMA, which tools/hbm_probe.py
+    measured at ~670 GB/s vs ~156 effective for the 256 KB single-group
+    steps) + gps small per-group x-window DMAs in flight together + gps MXU
+    dots. Used when whole-x doesn't fit VMEM next to the multi-group
+    buffers."""
+    i = pl.program_id(0)
+
+    def xdma(c, j):
+        slot = jax.lax.rem(c, NBUF)
+        g = c * gps + j
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(clo_ref[g] * BLOCK, BLOCK), wb * BLOCK), :],
+            xwin.at[slot, j],
+            sems.at[slot, j],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(gps):
+            xdma(0, j).start()
+
+    @pl.when(i + 1 < n_sg)
+    def _():
+        for j in range(gps):
+            xdma(i + 1, j).start()
+
+    slot = jax.lax.rem(i, NBUF)
+    for j in range(gps):
+        xdma(i, j).wait()
+        out_ref[j * rps * BLOCK:(j + 1) * rps * BLOCK, :] = jnp.dot(
+            slab_ref[j],
+            xwin[slot, j].astype(block_dtype),
+            preferred_element_type=jnp.float32,
+            precision=_precision_for(block_dtype),
+        )
+
+
+def _band_kernel_affine(
+    x_hbm,  # (rows_pad, Hpad) HBM — pre-shifted by pad_lo blocks
+    slabs_ref,  # (gps, rps*BLOCK, W*BLOCK) VMEM — auto-pipelined multi-group
+    out_ref,  # (gps*rps*BLOCK, Hpad) VMEM — auto-pipelined regular output
+    xpan,  # (NBUF, panel_rows, Hpad) VMEM scratch
+    sems,  # (NBUF,) DMA semaphores
+    *,
+    block_dtype,
+    n_sg,
+    wb,
+    rps,
+    gps,
+    stride,
+    base,  # static first-panel column block (off + pad_lo)
+):
+    """Affine (block-DIA) multi-group kernel — the round-3 roofline fix.
+
+    With the window law clo[g] = g*stride + off, EVERYTHING is static: one
+    grid step moves one gps-group slab block (a single MB-scale DMA — the
+    regime tools/hbm_probe.py measured at ~670 GB/s) plus ONE contiguous
+    x panel of ((gps-1)*stride + wb) blocks that covers all gps windows, and
+    each dot slices its window at the static offset j*stride inside the
+    panel. Two DMAs per step instead of 1-per-group: per-DMA fixed cost
+    (~1.3 us, the round-2 kernel's real ceiling) amortizes over gps groups."""
+    i = pl.program_id(0)
+    panel_rows = ((gps - 1) * stride + wb) * BLOCK
+
+    def pdma(c):
+        slot = jax.lax.rem(c, NBUF)
+        start = (c * gps * stride + base) * BLOCK
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(start, BLOCK), panel_rows), :],
+            xpan.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        pdma(0).start()
+
+    @pl.when(i + 1 < n_sg)
+    def _():
+        pdma(i + 1).start()
+
+    pdma(i).wait()
+    slot = jax.lax.rem(i, NBUF)
+    for j in range(gps):
+        out_ref[j * rps * BLOCK:(j + 1) * rps * BLOCK, :] = jnp.dot(
+            slabs_ref[j],
+            xpan[slot, j * stride * BLOCK: j * stride * BLOCK + wb * BLOCK, :]
+            .astype(block_dtype),
+            preferred_element_type=jnp.float32,
+            precision=_precision_for(block_dtype),
+        )
+
+
+def _pick_gps_affine(n_g: int, stride: int, wb: int, rps: int, hp: int,
+                     slab_isz: int, x_isz: int) -> int:
+    """Largest divisor of n_g whose slab block + x panel + out blocks fit."""
+    for gps in (32, 16, 8, 28, 14, 7, 4, 2, 1):
+        if n_g % gps:
+            continue
+        slab = 2 * gps * rps * BLOCK * wb * BLOCK * slab_isz
+        out = 2 * gps * rps * BLOCK * hp * 4
+        pan = NBUF * ((gps - 1) * stride + wb) * BLOCK * hp * x_isz
+        if slab + out + pan <= _VMEM_BUDGET:
+            return gps
+    return 1
 
 
 def _band_kernel_striped(
@@ -491,15 +737,25 @@ def band_spmm(
             f"x has {x.shape[0]} rows but the band layout covers only "
             f"{n_pad} columns (n_cb={band.n_cb})"
         )
+    # VMEM accounting uses LANE-PADDED widths (a (N, 64) scratch occupies
+    # (N, 128) physically — this is what round 3's first gps attempt OOMed on)
+    hp = _lane_pad(h_in)
+    slab_isz = jnp.dtype(block_dtype).itemsize
+    slab_unit = rps * BLOCK * wb * BLOCK * slab_isz  # one group's slab
+    out_unit = rps * BLOCK * hp * 4
+    xwin_unit = wb * BLOCK * hp * itemsize
+    x_full_bytes = n_pad * hp * itemsize
+    # Affine layouts go through the affine kernel unconditionally: their
+    # window tables may be negative at the top edge or overhang n_cb at the
+    # bottom (the exact affine law), which only that kernel's padding
+    # handles. The other variants serve per-group-window layouts.
+    if band.affine_stride is not None and band.g_lo is None:
+        return _band_spmm_affine(band, x, interpret)
     # whole-x-in-VMEM when it fits alongside the pipelined slab/out blocks
-    xvmem = (
-        n_pad * h_in * itemsize
-        + 2 * rps * BLOCK * wb * BLOCK * jnp.dtype(block_dtype).itemsize
-        + 2 * rps * BLOCK * h_in * 4
-    ) <= _VMEM_BUDGET
+    xvmem = x_full_bytes + 2 * slab_unit + 2 * out_unit <= _VMEM_BUDGET
     # streamed x windows must be lane-tile aligned; the VMEM-resident copy
     # needs no feature padding
-    h = h_in if xvmem else -(-h_in // 128) * 128
+    h = h_in if xvmem else hp
     # x rows must cover every window: windows are clamped into
     # [0, n_cb*BLOCK), so n_cb*BLOCK rows suffice.
     x_pad = (
@@ -509,24 +765,49 @@ def band_spmm(
     )
 
     if xvmem:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_g,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # x: DMA'd once to scratch
-                pl.BlockSpec(
-                    (None, rps * BLOCK, wb * BLOCK), lambda i, clo: (i, 0, 0)
+        gps = _pick_gps(n_g, 2 * slab_unit + 2 * out_unit, x_full_bytes)
+        if gps > 1:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_g // gps,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),  # x: DMA'd once
+                    pl.BlockSpec(
+                        (gps, rps * BLOCK, wb * BLOCK),
+                        lambda i, clo: (i, 0, 0),
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (gps * rps * BLOCK, h), lambda i, clo: (i, 0)
                 ),
-            ],
-            out_specs=pl.BlockSpec((rps * BLOCK, h), lambda i, clo: (i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((n_pad, h), x_dtype),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-        )
-        kernel = functools.partial(
-            _band_kernel_xvmem, block_dtype=block_dtype, wb=wb
-        )
+                scratch_shapes=[
+                    pltpu.VMEM((n_pad, h), x_dtype),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            )
+            kernel = functools.partial(
+                _band_kernel_xvmem_gps, block_dtype=block_dtype, wb=wb,
+                rps=rps, gps=gps,
+            )
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_g,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),  # x: DMA'd once
+                    pl.BlockSpec(
+                        (None, rps * BLOCK, wb * BLOCK), lambda i, clo: (i, 0, 0)
+                    ),
+                ],
+                out_specs=pl.BlockSpec((rps * BLOCK, h), lambda i, clo: (i, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((n_pad, h), x_dtype),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            )
+            kernel = functools.partial(
+                _band_kernel_xvmem, block_dtype=block_dtype, wb=wb
+            )
     elif stripes > 1:
         rows = rps * BLOCK // stripes
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -549,24 +830,49 @@ def band_spmm(
             stripes=stripes, rows=rows,
         )
     else:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_g,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-                pl.BlockSpec(
-                    (None, rps * BLOCK, wb * BLOCK), lambda i, clo: (i, 0, 0)
+        gps = _pick_gps(n_g, 2 * slab_unit + NBUF * xwin_unit + 2 * out_unit, 0)
+        if gps > 1:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_g // gps,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+                    pl.BlockSpec(
+                        (gps, rps * BLOCK, wb * BLOCK),
+                        lambda i, clo: (i, 0, 0),
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (gps * rps * BLOCK, h), lambda i, clo: (i, 0)
                 ),
-            ],
-            out_specs=pl.BlockSpec((rps * BLOCK, h), lambda i, clo: (i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((NBUF, wb * BLOCK, h), x_dtype),
-                pltpu.SemaphoreType.DMA((NBUF,)),
-            ],
-        )
-        kernel = functools.partial(
-            _band_kernel, block_dtype=block_dtype, n_g=n_g, wb=wb
-        )
+                scratch_shapes=[
+                    pltpu.VMEM((NBUF, gps, wb * BLOCK, h), x_dtype),
+                    pltpu.SemaphoreType.DMA((NBUF, gps)),
+                ],
+            )
+            kernel = functools.partial(
+                _band_kernel_gps, block_dtype=block_dtype, n_sg=n_g // gps,
+                wb=wb, rps=rps, gps=gps,
+            )
+        else:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_g,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+                    pl.BlockSpec(
+                        (None, rps * BLOCK, wb * BLOCK), lambda i, clo: (i, 0, 0)
+                    ),
+                ],
+                out_specs=pl.BlockSpec((rps * BLOCK, h), lambda i, clo: (i, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((NBUF, wb * BLOCK, h), x_dtype),
+                    pltpu.SemaphoreType.DMA((NBUF,)),
+                ],
+            )
+            kernel = functools.partial(
+                _band_kernel, block_dtype=block_dtype, n_g=n_g, wb=wb
+            )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_g * rps * BLOCK, h), jnp.float32),
@@ -583,16 +889,77 @@ def band_spmm(
     return out[: band.n_node, :h_in]
 
 
+def _band_spmm_affine(band: BandedAdj, x: jnp.ndarray, interpret: bool):
+    """Affine-layout SpMM dispatch (see _band_kernel_affine).
+
+    x is LANE-PADDED to 128: Mosaic rejects row-sliced DMA sources whose
+    minor dim is not tile-aligned ("Slice shape along dimension 1 must be
+    aligned to tiling (128)"), so the panel DMA needs a physically-128-wide
+    source. The pad/unpad is one fused XLA pass (~tens of us at em_user
+    scale — measured with dispatch-floor-corrected differential timing)."""
+    h_in = x.shape[1]
+    block_dtype = band.slabs.dtype
+    x_dtype = jnp.bfloat16 if block_dtype == jnp.bfloat16 else x.dtype
+    hp = _lane_pad(h_in)
+    stride, off = band.affine_stride, band.affine_off
+    wb, rps, n_g = band.w_blocks, band.rps, band.n_groups
+    gps = _pick_gps_affine(
+        n_g, stride, wb, rps, hp,
+        jnp.dtype(block_dtype).itemsize, jnp.dtype(x_dtype).itemsize,
+    )
+    n_sg = n_g // gps
+    panel_rows = ((gps - 1) * stride + wb) * BLOCK
+    pad_lo = max(0, -off)
+    base = off + pad_lo  # >= 0, static
+    rows_pad = max(
+        (band.n_cb + pad_lo) * BLOCK,
+        ((n_g - 1) * stride + base + wb) * BLOCK,
+        pad_lo * BLOCK + x.shape[0],
+    )
+    x_pad = jnp.pad(
+        x.astype(x_dtype),
+        ((pad_lo * BLOCK, rows_pad - pad_lo * BLOCK - x.shape[0]),
+         (0, hp - h_in)),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_sg,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x: manual panel DMA
+            pl.BlockSpec(
+                (gps, rps * BLOCK, wb * BLOCK), lambda i: (i, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((gps * rps * BLOCK, hp), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, panel_rows, hp), x_dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    kernel = functools.partial(
+        _band_kernel_affine, block_dtype=block_dtype, n_sg=n_sg, wb=wb,
+        rps=rps, gps=gps, stride=stride, base=base,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_g * rps * BLOCK, hp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(x_pad, band.slabs)
+    return out[: band.n_node, :h_in]
+
+
 def _band_tree(b: BandedAdj):
     return (b.slabs, b.clo) if b.g_lo is None else (b.slabs, b.clo, b.g_lo)
 
 
 def _band_untree(t, meta) -> BandedAdj:
-    n_rb, n_cb, n_node, rps, wb, n_g_total = meta
+    n_rb, n_cb, n_node, rps, wb, n_g_total, a_stride, a_off = meta
     return BandedAdj(
         slabs=t[0], clo=t[1], n_rb=n_rb, n_cb=n_cb, n_node=n_node,
         rps=rps, w_blocks=wb,
         g_lo=t[2] if len(t) > 2 else None, n_g_total=n_g_total,
+        affine_stride=a_stride, affine_off=a_off,
     )
 
 
@@ -626,7 +993,8 @@ def _make_diff_band_spmm(fwd_meta, bwd_meta, interpret: bool, stripes: int,
 
 
 def _band_meta(b: BandedAdj):
-    return (b.n_rb, b.n_cb, b.n_node, b.rps, b.w_blocks, b.n_g_total)
+    return (b.n_rb, b.n_cb, b.n_node, b.rps, b.w_blocks, b.n_g_total,
+            b.affine_stride, b.affine_off)
 
 
 # Slab-transfer DMA channels used by the training path (see

@@ -27,3 +27,19 @@ def micro_f1(pred: np.ndarray, label: np.ndarray) -> float:
 def auroc(pred: np.ndarray, label: np.ndarray) -> float:
     """AUROC (reference: impl/metrics.py:23-27)."""
     return float(roc_auc_score(np.asarray(label), np.asarray(pred)))
+
+
+def auroc_from_logits(logits: np.ndarray, label: np.ndarray) -> float:
+    """AUROC over raw model logits for any task arity: binary (1 logit),
+    multilabel (k-hot labels, per-label scores), or multiclass (softmax +
+    one-vs-rest). Convenience wrapper around :func:`auroc` for the
+    real-world reporting path."""
+    p = np.asarray(logits)
+    y = np.asarray(label)
+    if p.shape[-1] == 1:
+        return auroc(p.ravel(), y.ravel())
+    if y.ndim > 1:  # multilabel k-hot
+        return auroc(p, y)
+    e = np.exp(p - p.max(axis=1, keepdims=True))
+    prob = e / e.sum(axis=1, keepdims=True)
+    return float(roc_auc_score(y, prob, multi_class="ovr"))

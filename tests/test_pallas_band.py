@@ -343,3 +343,79 @@ def test_band_rectangular_gradient(rng):
     grad = np.asarray(jax.grad(lambda v: (spmm_band(graph, v) ** 2).sum())(x))
     ref_grad = 2 * d.T @ (d @ np.asarray(x))
     np.testing.assert_allclose(grad, ref_grad, rtol=1e-3, atol=1e-3)
+
+
+def test_band_multi_group_kernel_matches_dense(rng):
+    """The gps>1 (multi-group slab block) kernel variant — the round-3
+    roofline fix — must match the dense reference exactly. n=2048, rps=1
+    gives n_g=16 groups, so _pick_gps selects a >1 divisor."""
+    from glass_tpu.ops.pallas_band import (
+        _pick_gps, _lane_pad, build_band, band_spmm, BLOCK,
+    )
+
+    n, e = 2048, 12000
+    src = rng.integers(0, n, size=e)
+    dst = np.clip(src + rng.integers(-150, 150, size=e), 0, n - 1)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    r, c, w = (np.asarray(a) for a in (g.row, g.col, g.weight))
+    band = build_band(r, c, w, n, rps=1)
+    h = 64
+    slab_unit = band.rps * BLOCK * band.w_blocks * BLOCK * 4
+    out_unit = band.rps * BLOCK * _lane_pad(h) * 4
+    gps = _pick_gps(band.n_groups, 2 * slab_unit + 2 * out_unit,
+                    band.n_cb * BLOCK * _lane_pad(h) * 4)
+    assert gps > 1, f"expected a multi-group pick for n_g={band.n_groups}"
+    x = rng.normal(size=(n, h)).astype(np.float32)
+    out = np.asarray(band_spmm(band, jnp.asarray(x), interpret=True))
+    ref = np.asarray(g.dense) @ x
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("rps,gps_expected_min", [(1, 2), (2, 1)])
+def test_band_affine_kernel_matches_dense(rng, rps, gps_expected_min):
+    """Affine (block-DIA) layout + static multi-group kernel vs dense,
+    including the top-edge negative-off padding and bottom-edge window
+    overhang the affine law produces."""
+    from glass_tpu.ops.pallas_band import affine_fit, build_band, band_spmm
+
+    n, e = 1920, 11000  # 15 row blocks — not a multiple of gps candidates
+    src = rng.integers(0, n, size=e)
+    dst = np.clip(src + rng.integers(-140, 140, size=e), 0, n - 1)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    r, c, w = (np.asarray(a) for a in (g.row, g.col, g.weight))
+    fit = affine_fit(r, c, w, n, rps)
+    assert fit is not None
+    stride, off, w_aff = fit
+    band = build_band(r, c, w, n, rps=rps, affine=fit)
+    assert band.affine_stride == stride and band.affine_off == off
+    x = rng.normal(size=(n, 48)).astype(np.float32)
+    out = np.asarray(band_spmm(band, jnp.asarray(x), interpret=True))
+    ref = np.asarray(g.dense) @ x
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_band_affine_differentiable(rng):
+    """spmm_band through a Graph whose band layout is affine: forward and
+    custom-VJP backward match the dense reference."""
+    import jax
+    from glass_tpu.ops.spmm import spmm
+
+    n, e = 1536, 9000
+    src = rng.integers(0, n, size=e)
+    dst = np.clip(src + rng.integers(-120, 120, size=e), 0, n - 1)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    g_dense = build_graph(ei, None, n, "gcn", materialize_dense=True)
+    g_band = build_graph(ei, None, n, "gcn", materialize_dense=False,
+                         materialize_bcsr=True, sparse_layout="band")
+    if g_band.band is None or g_band.band.affine_stride is None:
+        pytest.skip("planner did not pick an affine band for this graph")
+    x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm(g_band, x, "pallas")),
+        np.asarray(spmm(g_dense, x, "dense")), rtol=1e-4, atol=1e-4)
+    gr_b = jax.grad(lambda v: (spmm(g_band, v, "pallas") ** 2).sum())(x)
+    gr_d = jax.grad(lambda v: (spmm(g_dense, v, "dense") ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gr_b), np.asarray(gr_d),
+                               rtol=1e-3, atol=1e-3)

@@ -61,17 +61,19 @@ def _timed(fn, *args):
 def xla_copy_probe(rows, iters):
     x = jnp.ones((rows, LANES), jnp.float32)
 
-    @jax.jit
-    def many(x0, n):
-        def step(h, _):
-            return h + 1.0, None
+    def make(n):
+        @jax.jit
+        def many(x0):
+            def step(h, _):
+                return h + 1.0, None
 
-        h, _ = jax.lax.scan(step, x0, None, length=n)
-        return h
+            h, _ = jax.lax.scan(step, x0, None, length=n)
+            return h
+
+        return many
 
     lo, hi = iters // 4, iters
-    f_lo = jax.jit(functools.partial(many, n=lo))
-    f_hi = jax.jit(functools.partial(many, n=hi))
+    f_lo, f_hi = make(lo), make(hi)
     _sync(f_lo(x)), _sync(f_hi(x))
     dt = (min(_timed(f_hi, x) for _ in range(3))
           - min(_timed(f_lo, x) for _ in range(3))) / (hi - lo)
