@@ -80,6 +80,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         choices=["auto"],
                         help="'auto': GSPMD DP (replicated graph, annotated "
                              "batch dim) instead of explicit shard_map")
+    parser.add_argument("--report_auroc", action="store_true",
+                        help="also log test AUROC at each test probe "
+                             "(reference metrics.py implements auroc but "
+                             "never calls it)")
     return parser
 
 
@@ -159,6 +163,7 @@ def main(argv=None):
         data_shards=args.data_shards,
         ring=args.ring,
         sharding=args.sharding,
+        report_auroc=args.report_auroc,
         **params,
     )
     _, mean, err = run_experiment(cfg)

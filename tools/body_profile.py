@@ -72,7 +72,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=57344)
     ap.add_argument("--h", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=600)
     ap.add_argument("--dtype", default="float32")
     args = ap.parse_args()
     n, h = args.n, args.h
