@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from glass_tpu.nn.dropout import HWDropout
+
 from glass_tpu.ops.graph import Graph
 from glass_tpu.ops.spmm import spmm, gather_global
 from glass_tpu.ops.segment import pool_subgraphs
@@ -101,7 +103,7 @@ class MLP(nn.Module):
             if self.gn:
                 h = GraphNorm()(h)
             if self.dropout > 0:
-                h = nn.Dropout(self.dropout)(h, deterministic=not training)
+                h = HWDropout(self.dropout)(h, deterministic=not training)
             return act(h)
 
         if self.num_layers == 1:
@@ -180,7 +182,7 @@ class GLASSConv(nn.Module):
             # the compute dtype (every downstream op is HBM-bound)
             x = x.astype(jnp.dtype(self.dtype))
         x = GraphNorm(name="gn")(x, graph)
-        x = nn.Dropout(self.dropout)(x, deterministic=not training)
+        x = HWDropout(self.dropout)(x, deterministic=not training)
         x = jnp.concatenate([x, x_], axis=-1)
         x1 = TorchLinear(self.out_channels, dtype=self.dtype, name="comb_1")(x)
         x0 = TorchLinear(self.out_channels, dtype=self.dtype, name="comb_0")(x)
@@ -232,7 +234,7 @@ class EmbZGConv(nn.Module):
             # cast once after the table gather; params/optimizer stay f32
             h = h.astype(jnp.dtype(self.dtype))
         h = GraphNorm(name="emb_gn")(h, graph)
-        h = nn.Dropout(self.dropout)(h, deterministic=not training)
+        h = HWDropout(self.dropout)(h, deterministic=not training)
 
         conv_dropout = self.dropout if self.conv_dropout is None else self.conv_dropout
         xs = []
@@ -253,7 +255,7 @@ class EmbZGConv(nn.Module):
                 if self.gn:
                     h = GraphNorm(name=f"gn_{layer}")(h, graph)
                 h = act(h)
-                h = nn.Dropout(self.dropout)(h, deterministic=not training)
+                h = HWDropout(self.dropout)(h, deterministic=not training)
 
         h = jnp.concatenate(xs, axis=-1) if self.jk else xs[-1]
         if self.gn:

@@ -14,6 +14,8 @@ from typing import Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
+from glass_tpu.nn.dropout import HWDropout
+
 from glass_tpu.ops.graph import Graph
 from glass_tpu.ops.spmm import spmm
 from glass_tpu.ops.segment import mean_over_nodes
@@ -79,7 +81,7 @@ class EmbGConv(nn.Module):
         )(x.reshape(-1))
         if self.dtype is not None:
             h = h.astype(jnp.dtype(self.dtype))
-        h = nn.Dropout(self.dropout)(h, deterministic=not training)
+        h = HWDropout(self.dropout)(h, deterministic=not training)
         xs = []
         for layer in range(self.num_layers):
             last = layer == self.num_layers - 1
@@ -96,7 +98,7 @@ class EmbGConv(nn.Module):
                     h = GraphNorm(name=f"gn_{layer}")(h, graph)
                 xs.append(h)
                 h = act(h)
-                h = nn.Dropout(self.dropout)(h, deterministic=not training)
+                h = HWDropout(self.dropout)(h, deterministic=not training)
             else:
                 xs.append(h)
         return jnp.concatenate(xs, axis=-1) if self.jk else xs[-1]

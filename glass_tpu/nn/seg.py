@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from glass_tpu.nn.dropout import HWDropout
+
 from glass_tpu.nn.modules import ACTIVATIONS, MLP, TorchLinear
 
 
@@ -96,7 +98,7 @@ class GSegGNN(nn.Module):
                 h = MaskedGraphNorm(name=f"gn_{layer}")(h, mask)
                 xs.append(h)
                 h = act(h)
-                h = nn.Dropout(self.dropout)(h, deterministic=not training)
+                h = HWDropout(self.dropout)(h, deterministic=not training)
             else:
                 xs.append(h)
         h = jnp.concatenate(xs, axis=-1)

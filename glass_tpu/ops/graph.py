@@ -269,10 +269,58 @@ def build_graph(
         pat_sym = symmetric or coo_is_symmetric(
             r_np, c_np, (w_np != 0).astype(np.float32)
         )
-        kind, rps, wb = _plan_block_sparse(
+        kind, rps, wb, _costs = _plan_block_sparse(
             r_np, c_np, w_np, n_node, dense_dtype, band_rps, sparse_layout,
-            pat_sym,
+            pat_sym, with_costs=True,
         )
+        if sparse_layout == "auto" and band_rps is None:
+            # score the dense-MXU and segment paths against the chosen
+            # block-sparse layout: near-dense block patterns (real-world
+            # hpo/ppi-scale graphs) degenerate BCSR into a bloated dense
+            # matrix, and very large scattered graphs can exceed memory in
+            # any materialized layout — in which case the segment path is
+            # the honest answer.
+            itemsize_d = 2 if dense_dtype == "bf16" else 4
+            _, _, stream_bps = _cost_constants()
+            sparse_best = min(_costs.values()) if _costs else float("inf")
+            dense_bytes = n_node * n_node * itemsize_d
+            dense_cost = (
+                dense_bytes / stream_bps
+                + 2.0 * n_node * n_node * 128 / _MXU_FLOPS[
+                    "bf16" if dense_dtype == "bf16" else "f32"]
+            )
+            seg_cost = n_edge * 2 * (16 + 128 * 4) / _GATHER_BPS
+            # HBM cap: a chosen layout whose stored blocks exceed the cap is
+            # disqualified regardless of modeled time (the cost model values
+            # time, not memory — a 1%-dense 40k-node graph "wins" on time
+            # with a >6 GiB layout that starves activations)
+            stored_bytes = 0
+            if kind == "bcsr":
+                bid = (r_np // BCSR_BLOCK) * (-(-n_node // BCSR_BLOCK)) \
+                    + c_np // BCSR_BLOCK
+                n_blk = np.unique(bid[w_np != 0]).size
+                stored_bytes = n_blk * BCSR_BLOCK * BCSR_BLOCK * itemsize_d
+            elif kind == "band":
+                keep_m = w_np != 0
+                wb_full, _, nbytes_b, _ = pallas_band.band_stats(
+                    r_np[keep_m], c_np[keep_m], np.ones(int(keep_m.sum())),
+                    n_node, rps,
+                )
+                stored_bytes = nbytes_b * (itemsize_d / 4)
+            if stored_bytes > _LAYOUT_BYTES_CAP:
+                sparse_best = float("inf")
+            if dense_bytes > _DENSE_MXU_BYTES_CAP:
+                dense_cost = float("inf")
+            if dense_cost < min(sparse_best, seg_cost):
+                kind = "dense"
+            elif seg_cost < min(sparse_best, dense_cost):
+                kind = "segment"
+        if kind == "dense" and not materialize_dense:
+            d = np.zeros((n_node, n_node), dtype=np.float32)
+            np.add.at(d, (row[:n_edge], col[:n_edge]), w[:n_edge])
+            dense = jnp.asarray(d)
+            if dense_dtype == "bf16":
+                dense = dense.astype(jnp.bfloat16)
         if kind == "band" and not symmetric:
             # The band VJP needs a banded A^T, so the transposed layout must
             # fit VMEM too — else BCSR both ways. Plan the transpose with
@@ -343,11 +391,13 @@ def build_graph(
             bcsr_t = bcsr if symmetric else build_bcsr(
                 c_np[out], r_np[out], w_np[out], n_node, dtype=bdtype
             )
-        else:
+        elif kind == "bcsr":
             bcsr = build_bcsr(r_, c_, w_, n_node, dtype=bdtype)
             bcsr_t = bcsr if symmetric else build_bcsr(
                 c_, r_, w_, n_node, dtype=bdtype
             )
+        # else kind in ("dense", "segment"): no block-sparse layout —
+        # spmm() dispatches to the dense MXU matmul / gather-segment path
 
     return Graph(
         row=jnp.asarray(row, dtype=jnp.int32),
@@ -375,6 +425,20 @@ def build_graph(
 _BAND_STEP_COST_S = 1.5e-6
 _BCSR_STEP_COST_S = 4.0e-6
 _BAND_STREAM_BPS = 150e9
+
+# Dense-MXU planner candidate (mid-scale unstructured graphs): when the
+# block-sparse layouts degenerate — e.g. a ~1.5%-dense 14.6k-node graph
+# whose 128x128 BCSR blocks are nearly all occupied, so "BCSR" stores ~a
+# full dense matrix plus bookkeeping — a plain dense matmul on the MXU is
+# both smaller and faster. Modeled as stream time + MXU time; capped so a
+# planner mistake can never eat the HBM (v5e: 16 GiB).
+_DENSE_MXU_BYTES_CAP = 2 << 30  # 2 GiB adjacency
+_LAYOUT_BYTES_CAP = 4 << 30  # max stored block-sparse layout (one direction)
+_MXU_FLOPS = {"bf16": 180e12, "f32": 45e12}  # v5e ~197T bf16; f32 ~1/4
+
+# Segment-path fallback model: XLA row gather/scatter streams ~16 GB/s
+# effective on v5e (RESULTS.md round 1) over ~(16+h*itemsize)*2 bytes/edge.
+_GATHER_BPS = 16e9
 
 
 def _cost_constants() -> tuple:

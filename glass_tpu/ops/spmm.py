@@ -204,6 +204,14 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
         mode = "hybrid"
     elif mode == "pallas" and graph.band is not None:
         mode = "band"
+    elif mode == "pallas" and graph.bcsr is None:
+        # the auto planner can decline every block-sparse layout (near-dense
+        # block patterns route to the dense MXU path; oversized scattered
+        # graphs to the segment path) — honor its choice here
+        mode = "dense" if graph.dense is not None else "segment"
+        if mode == "segment":
+            return spmm_segment(graph, x)
+        return spmm_dense(graph, x)
     if mode == "hybrid":
         # A = A_band + A_outlier (build_graph's hybrid split): two Pallas
         # kernels summed; each part's custom VJP uses its own transposed

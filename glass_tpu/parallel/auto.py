@@ -39,19 +39,21 @@ class AutoTrainer(Trainer):
 
         batched2 = NamedSharding(mesh, P(None, None, "data"))  # (K, nb, B, ...)
 
+        # leading (graph, x) args are replicated operands (never closure
+        # constants — see Trainer.__init__)
         self._epoch = jax.jit(
             self._epoch_impl,
-            in_shardings=(repl, repl, repl, repl, batched, batched),
+            in_shardings=(repl, repl, repl, repl, repl, repl, batched, batched),
             out_shardings=(repl, repl, repl, repl, repl),
         )
         self._eval = jax.jit(
             self._eval_impl,
-            in_shardings=(repl, batched),
+            in_shardings=(repl, repl, repl, batched),
             out_shardings=repl,
         )
         # multi-epoch program (the protocol's pre-eval-gate scan)
         self._epochs = jax.jit(
             self._epochs_impl,
-            in_shardings=(repl, repl, repl, repl, batched2, batched2),
+            in_shardings=(repl, repl, repl, repl, repl, repl, batched2, batched2),
             out_shardings=(repl, repl, repl, repl, repl),
         )

@@ -63,9 +63,11 @@ class Predictor:
     def _fn(self, b: int, w: int):
         key = (b, w)
         if key not in self._fns:
-            def fwd(params, pos):
-                z = max_zero_one(pos, self.graph.n_node) if self.use_z else None
-                return self.model.apply(params, self.graph, self.x, pos, z)
+            # graph/x as jit args, not closure constants (which would inline
+            # the edge arrays into every bucket's HLO — see train/loop.py)
+            def fwd(graph, x, params, pos):
+                z = max_zero_one(pos, graph.n_node) if self.use_z else None
+                return self.model.apply(params, graph, x, pos, z)
 
             self._fns[key] = jax.jit(fwd)
         return self._fns[key]
@@ -79,5 +81,5 @@ class Predictor:
         pos = np.full((b, w), -1, dtype=np.int32)
         for i, s in enumerate(subgraphs):
             pos[i, : len(s)] = np.asarray(s, dtype=np.int32)
-        logits = self._fn(b, w)(self.params, jnp.asarray(pos))
+        logits = self._fn(b, w)(self.graph, self.x, self.params, jnp.asarray(pos))
         return np.asarray(logits)[:n]

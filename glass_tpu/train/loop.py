@@ -91,7 +91,12 @@ class Trainer:
         self.loss_fn = LOSSES[cfg.loss]
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
 
-        donate_argnums = (0, 1) if donate else ()
+        # graph/x ride the jitted programs as ARGUMENTS (argnums 0-1), never
+        # as closure captures: jax inlines closed-over arrays into the HLO as
+        # literal constants, so a multi-MB edge list or Pallas layout would
+        # bloat every compile (and overflow the remote-compile request limit
+        # on tunneled TPUs — observed as HTTP 413 at hpo_metab scale).
+        donate_argnums = (2, 3) if donate else ()
         self._epoch = jax.jit(self._epoch_impl, donate_argnums=donate_argnums)
         self._eval = jax.jit(self._eval_impl)
 
@@ -106,18 +111,18 @@ class Trainer:
 
     # ----------------------------------------------------------------- train
 
-    def _z(self, pos):
+    def _z(self, graph, pos):
         if not self.cfg.use_z:
             return None
         z_fn = self.cfg.z_fn or max_zero_one
-        return z_fn(pos, self.graph.n_node)
+        return z_fn(pos, graph.n_node)
 
-    def _step_loss(self, params, pos, y, dropout_key):
-        z = self._z(pos)
+    def _step_loss(self, params, graph, x, pos, y, dropout_key):
+        z = self._z(graph, pos)
         logits = self.model.apply(
             params,
-            self.graph,
-            self.x,
+            graph,
+            x,
             pos,
             z,
             training=True,
@@ -125,7 +130,7 @@ class Trainer:
         )
         return self.loss_fn(logits, y)
 
-    def _epoch_impl(self, params, opt_state, plateau, rng, pos_b, y_b):
+    def _epoch_impl(self, graph, x, params, opt_state, plateau, rng, pos_b, y_b):
         """One optimization epoch over pre-batched (nb, B, ...) arrays, with
         the plateau schedule advanced in-trace on the epoch's mean loss."""
         # feed the plateau-scheduled LR into the injected adam hyperparams
@@ -135,7 +140,9 @@ class Trainer:
             params, opt_state, rng = carry
             pos, y = batch
             rng, dkey = jax.random.split(rng)
-            loss, grads = jax.value_and_grad(self._step_loss)(params, pos, y, dkey)
+            loss, grads = jax.value_and_grad(self._step_loss)(
+                params, graph, x, pos, y, dkey
+            )
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, rng), loss
@@ -163,9 +170,10 @@ class Trainer:
         (a host sync through the TPU tunnel costs ~27 ms — more than the
         18 ms compute of a density epoch). Callers format/float() it only
         when they actually log."""
-        return self._epoch(params, opt_state, plateau, rng, pos_b, y_b)
+        return self._epoch(self.graph, self.x, params, opt_state, plateau, rng,
+                           pos_b, y_b)
 
-    def _epochs_impl(self, params, opt_state, plateau, rng, pos_bs, y_bs):
+    def _epochs_impl(self, graph, x, params, opt_state, plateau, rng, pos_bs, y_bs):
         """K epochs as ONE program: outer scan over epochs with the plateau
         schedule advanced in-scan (identical math to K train_epoch calls).
         Used before the protocol's eval gate opens, where nothing on the host
@@ -181,7 +189,9 @@ class Trainer:
                 params, opt_state, rng = c
                 pos, y = b
                 rng, dkey = jax.random.split(rng)
-                loss, grads = jax.value_and_grad(self._step_loss)(params, pos, y, dkey)
+                loss, grads = jax.value_and_grad(self._step_loss)(
+                    params, graph, x, pos, y, dkey
+                )
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 return (optax.apply_updates(params, updates), opt_state, rng), loss
 
@@ -207,15 +217,15 @@ class Trainer:
         if not hasattr(self, "_epochs"):
             self._epochs = jax.jit(self._epochs_impl)
         params, opt_state, plateau, rng, losses = self._epochs(
-            params, opt_state, plateau, rng, pos_bs, y_bs
+            self.graph, self.x, params, opt_state, plateau, rng, pos_bs, y_bs
         )
         return params, opt_state, plateau, rng, np.asarray(losses)
 
     # ------------------------------------------------------------------ eval
 
-    def _eval_impl(self, params, pos_b):
+    def _eval_impl(self, graph, x, params, pos_b):
         def step(_, pos):
-            logits = self.model.apply(params, self.graph, self.x, pos, self._z(pos))
+            logits = self.model.apply(params, graph, x, pos, self._z(graph, pos))
             return None, logits
 
         _, logits = jax.lax.scan(step, None, pos_b)
@@ -223,7 +233,7 @@ class Trainer:
 
     def evaluate(self, params, pos_b: jnp.ndarray, n_real: int) -> np.ndarray:
         """Returns host logits for the first ``n_real`` samples."""
-        logits = np.asarray(self._eval(params, pos_b))
+        logits = np.asarray(self._eval(self.graph, self.x, params, pos_b))
         return logits.reshape(-1, logits.shape[-1])[:n_real]
 
 

@@ -127,10 +127,13 @@ def run_experiment(cfg: ExperimentConfig, log: Callable[[str], None] = print):
 
 def _auto_route(cfg: ExperimentConfig, n_node: int, backend: str):
     """(spmm_mode, use_rcm) after TPU auto-routing. Graphs beyond the
-    dense-adjacency limit are RCM-reordered and run the BCSR Pallas kernel
-    (VERDICT round-1 weak #4: component-scale graphs fell to the slow
-    segment path). RCM is prediction-invariant (tested) and the BCSR path
-    is training-complete, so this changes speed, not results.
+    dense-adjacency limit are RCM-reordered and handed to the layout
+    planner (VERDICT round-1 weak #4: component-scale graphs fell to the
+    slow segment path). The planner picks band/BCSR/hybrid Pallas layouts
+    for block-structured graphs, the dense MXU path for near-dense block
+    patterns (hpo-scale unstructured graphs), or the segment path when no
+    materialized layout pays (ops/graph.py::build_graph). RCM is
+    prediction-invariant (tested), so this changes speed, not results.
 
     Covers all three trainer modes: the single-device trainer, explicit-
     sharded runs (the ShardedTrainer materializes per-shard rectangular BCSR

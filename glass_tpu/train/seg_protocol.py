@@ -75,8 +75,10 @@ def run_seg_experiment(cfg: SegConfig, log: Callable[[str], None] = print):
 
     trn_d, val_d, tst_d = to_dev(trn), to_dev(val), to_dev(tst)
 
+    # trn_d rides as an argument — closure-captured arrays inline into the
+    # HLO as constants (see train/loop.py)
     @jax.jit
-    def train_epoch(params, opt_state, lr, rng, order):
+    def train_epoch(trn_d, params, opt_state, lr, rng, order):
         opt_state.hyperparams["learning_rate"] = lr
         nb = order.shape[0]
 
@@ -133,7 +135,7 @@ def run_seg_experiment(cfg: SegConfig, log: Callable[[str], None] = print):
             order = rng.permutation(n_trn)[: nb * min(batch_size, n_trn)]
             order = order.reshape(nb, -1)
             params, opt_state, key, loss = train_epoch(
-                params, opt_state, plateau.lr, key, jnp.asarray(order)
+                trn_d, params, opt_state, plateau.lr, key, jnp.asarray(order)
             )
             plateau = plateau_step(plateau, loss, factor=0.7, min_lr=5e-5)
             if i % 5 == 0:

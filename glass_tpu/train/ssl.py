@@ -95,8 +95,12 @@ def pretrain_once(
     opt_state = tx.init(params)
     plateau = plateau_init(cfg.lr)
 
+    # graph/x/pos_val are jit ARGUMENTS: closed-over arrays inline into the
+    # HLO as constants, which at real-world edge counts (em_user: ~4.6M
+    # directed edges) overflows the remote-compile request of tunneled TPUs
+    # (HTTP 413) and bloats the compile cache (see train/loop.py).
     @jax.jit
-    def step(params, opt_state, lr, dkey, pos, y):
+    def step(graph, x, params, opt_state, lr, dkey, pos, y):
         opt_state.hyperparams["learning_rate"] = lr
 
         def loss_of(p):
@@ -109,15 +113,15 @@ def pretrain_once(
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def node_table(params):
+    def node_table(graph, x, params):
         return model.apply(params, graph, x, jnp.zeros((1, 2), jnp.int32),
                            method=EdgeGNN.node_emb)
 
     @jax.jit
-    def val_logits(params):
+    def val_logits(graph, x, params, pos_val):
         return model.apply(params, graph, x, pos_val)
 
-    best_score, best_emb, early = 0.0, np.asarray(node_table(params)), 0
+    best_score, best_emb, early = 0.0, np.asarray(node_table(graph, x, params)), 0
     bs = min(cfg.batch_size, pos_trn.shape[0])
     for epoch in range(cfg.max_epochs):
         order = rng.permutation(pos_trn.shape[0])
@@ -128,7 +132,7 @@ def pretrain_once(
                 break
             key, dkey = jax.random.split(key)
             params, opt_state, loss = step(
-                params, opt_state, plateau.lr, dkey,
+                graph, x, params, opt_state, plateau.lr, dkey,
                 jnp.asarray(pos_trn[sel]), jnp.asarray(y_trn[sel]),
             )
             # the reference steps the scheduler on every batch (GNNEmb.py:139)
@@ -136,12 +140,13 @@ def pretrain_once(
                                    patience=50)
             losses.append(float(loss))
         if epoch % cfg.eval_every == 0:
-            score = binary_f1(np.asarray(val_logits(params)), y_val)
+            score = binary_f1(np.asarray(val_logits(graph, x, params, pos_val)),
+                              y_val)
             log(f"iter {epoch} loss {np.average(losses):.4f} score {score:.4f}")
             early += 1
             if score > best_score:
                 best_score = score
-                best_emb = np.asarray(node_table(params))
+                best_emb = np.asarray(node_table(graph, x, params))
                 early = 0
             if early >= cfg.early_stop:
                 break

@@ -106,13 +106,20 @@ def test_band_gate_selects_band_on_chain(rng):
                     materialize_bcsr=True)
     assert g.band is not None and g.bcsr is None
     assert g.band_t is g.band  # gcn is symmetric: shared arrays
-    # scattered graph over many blocks with near-zero fill: bcsr stays
+    # scattered graph over many blocks with near-zero fill: every 128x128
+    # block would hold ~1 edge, so the auto planner (now scoring segment and
+    # dense candidates too) rightly declines any materialized layout — the
+    # gather/segment path streams 1.2k edges in ~80 us, 30x under BCSR's
+    # modeled per-chunk cost. Forcing bcsr still materializes it.
     rng2 = np.random.default_rng(3)
     n2 = 64 * BLOCK
     ei2 = rand_graph(rng2, n2, 600)
     g2 = build_graph(ei2, None, n2, "gcn", materialize_dense=False,
                      materialize_bcsr=True)
-    assert g2.band is None and g2.bcsr is not None
+    assert g2.band is None and g2.bcsr is None and g2.dense is None
+    g2f = build_graph(ei2, None, n2, "gcn", materialize_dense=False,
+                      materialize_bcsr=True, sparse_layout="bcsr")
+    assert g2f.bcsr is not None
 
 
 def test_band_gradient_matches_dense(rng):

@@ -150,7 +150,7 @@ def test_ring_training_matches_single_device(rng):
     ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, donate=False)
     params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
     rngk = jax.random.PRNGKey(7)
-    ref_params, _, _, _, ref_loss = ref_tr._epoch(
+    ref_params, _, _, _, ref_loss = ref_tr.train_epoch(
         params, opt_state, plateau, rngk,
         jnp.asarray(pos[None]), jnp.asarray(y[None]),
     )
@@ -197,7 +197,7 @@ def test_sharded_training_matches_single_device(rng):
     ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, donate=False)
     params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
     rngk = jax.random.PRNGKey(7)
-    ref_params, _, _, _, ref_loss = ref_tr._epoch(
+    ref_params, _, _, _, ref_loss = ref_tr.train_epoch(
         params, opt_state, plateau, rngk,
         jnp.asarray(pos[None]), jnp.asarray(y[None]),
     )
@@ -276,11 +276,11 @@ def test_auto_trainer_matches_single_device(rng):
     key = jax.random.PRNGKey(3)
     pos_b = jnp.asarray(pos.reshape(2, 8, L))
     y_b = jnp.asarray(y.reshape(2, 8))
-    r_params, _, _, _, r_loss = ref._epoch(params, opt_state, plateau, key, pos_b, y_b)
+    r_params, _, _, _, r_loss = ref.train_epoch(params, opt_state, plateau, key, pos_b, y_b)
 
     mesh = make_mesh(graph_shards=1, data_shards=8)
     auto = AutoTrainer(model, g, x, cfg, mesh)
-    a_params, _, _, _, a_loss = auto._epoch(
+    a_params, _, _, _, a_loss = auto.train_epoch(
         params, auto.tx.init(params), plateau, key, pos_b, y_b
     )
     np.testing.assert_allclose(float(a_loss), float(r_loss), rtol=1e-5)
@@ -518,7 +518,7 @@ def test_sharded_pallas_training_matches_single_device(rng):
     ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, donate=False)
     params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
     rngk = jax.random.PRNGKey(7)
-    ref_params, _, _, _, ref_loss = ref_tr._epoch(
+    ref_params, _, _, _, ref_loss = ref_tr.train_epoch(
         params, opt_state, plateau, rngk,
         jnp.asarray(pos[None]), jnp.asarray(y[None]),
     )
@@ -558,12 +558,12 @@ def test_auto_sharding_with_pallas_matches_single_device(rng):
     ref_tr = Trainer(model, g, x, cfg, donate=False)
     params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
     key = jax.random.PRNGKey(7)
-    ref = ref_tr._epoch(params, opt_state, plateau, key,
+    ref = ref_tr.train_epoch(params, opt_state, plateau, key,
                         jnp.asarray(pos[None]), jnp.asarray(y[None]))
 
     mesh = make_mesh(graph_shards=1, data_shards=8)
     at = AutoTrainer(model, g, x, cfg, mesh)
-    got = at._epoch(params, opt_state, plateau, key,
+    got = at.train_epoch(params, opt_state, plateau, key,
                     jnp.asarray(pos[None]), jnp.asarray(y[None]))
     np.testing.assert_allclose(float(got[4]), float(ref[4]), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(ref[0]), jax.tree.leaves(got[0])):
@@ -763,7 +763,7 @@ def test_sharded_band_training_matches_single_device(rng):
     ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, donate=False)
     params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
     rngk = jax.random.PRNGKey(7)
-    ref_params, _, _, _, ref_loss = ref_tr._epoch(
+    ref_params, _, _, _, ref_loss = ref_tr.train_epoch(
         params, opt_state, plateau, rngk,
         jnp.asarray(pos[None]), jnp.asarray(y[None]),
     )
@@ -804,12 +804,12 @@ def test_auto_sharding_with_band_matches_single_device(rng):
     ref_tr = Trainer(model, g, x, cfg, donate=False)
     params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
     key = jax.random.PRNGKey(7)
-    ref = ref_tr._epoch(params, opt_state, plateau, key,
+    ref = ref_tr.train_epoch(params, opt_state, plateau, key,
                         jnp.asarray(pos[None]), jnp.asarray(y[None]))
 
     mesh = make_mesh(graph_shards=1, data_shards=8)
     at = AutoTrainer(model, g, x, cfg, mesh)
-    got = at._epoch(params, opt_state, plateau, key,
+    got = at.train_epoch(params, opt_state, plateau, key,
                     jnp.asarray(pos[None]), jnp.asarray(y[None]))
     np.testing.assert_allclose(float(got[4]), float(ref[4]), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(ref[0]), jax.tree.leaves(got[0])):
@@ -965,7 +965,7 @@ def test_sharded_hybrid_training_matches_single_device(rng):
     ref_tr = Trainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, donate=False)
     params, opt_state, plateau = ref_tr.init(0, jnp.asarray(pos))
     rngk = jax.random.PRNGKey(7)
-    ref_params, _, _, _, ref_loss = ref_tr._epoch(
+    ref_params, _, _, _, ref_loss = ref_tr.train_epoch(
         params, opt_state, plateau, rngk,
         jnp.asarray(pos[None]), jnp.asarray(y[None]),
     )

@@ -13,6 +13,7 @@ import itertools
 import json
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from glass_tpu.ops.graph import (
@@ -126,3 +127,53 @@ def test_with_costs_reports_all_candidates():
     # winner is cheapest up to the hybrid margin (a hybrid must beat the best
     # single layout by _HYBRID_MARGIN to justify two kernels)
     assert costs[kind] <= min(costs.values()) / 0.89
+
+
+def test_auto_picks_dense_for_near_dense_block_pattern():
+    """A ~1.5%-dense unstructured graph (real-world hpo scale) occupies
+    nearly every 128x128 block, so 'BCSR' would store ~a full dense matrix;
+    the planner must route it to the dense MXU path instead."""
+    from glass_tpu.ops.graph import build_graph
+    from glass_tpu.ops.spmm import spmm
+
+    rng = np.random.default_rng(0)
+    n, e = 14592, 500_000
+    r = rng.integers(0, n, size=e)
+    c = rng.integers(0, n, size=e)
+    ei = np.concatenate([np.stack([r, c]), np.stack([c, r])], axis=1)
+    g = build_graph(ei, None, n, "gcn", materialize_dense=False,
+                    materialize_bcsr=True, sparse_layout="auto")
+    assert g.dense is not None and g.bcsr is None and g.band is None
+    x = jnp.ones((n, 8))
+    assert np.allclose(np.asarray(spmm(g, x, "pallas")),
+                       np.asarray(spmm(g, x, "segment")), atol=1e-3)
+
+
+def test_auto_bytes_cap_falls_back_to_segment(monkeypatch):
+    """A graph whose every materialized layout would exceed the HBM caps
+    must fall back to the segment path (no layout at all)."""
+    import glass_tpu.ops.graph as G
+    from glass_tpu.ops.graph import build_graph
+
+    monkeypatch.setattr(G, "_DENSE_MXU_BYTES_CAP", 1 << 20)
+    monkeypatch.setattr(G, "_LAYOUT_BYTES_CAP", 1 << 20)
+    rng = np.random.default_rng(1)
+    n, e = 14592, 200_000
+    r = rng.integers(0, n, size=e)
+    c = rng.integers(0, n, size=e)
+    ei = np.concatenate([np.stack([r, c]), np.stack([c, r])], axis=1)
+    g = build_graph(ei, None, n, "gcn", materialize_dense=False,
+                    materialize_bcsr=True, sparse_layout="auto")
+    assert g.dense is None and g.bcsr is None and g.band is None
+
+
+def test_auto_keeps_band_for_banded_graphs():
+    """The dense candidate must not displace the band kernel where the band
+    layout is compact (the regime the Pallas kernels are built for)."""
+    from glass_tpu.ops.graph import build_graph
+
+    ei = np.stack([np.arange(1, 5000), np.arange(0, 4999)])
+    ei = np.concatenate([ei, ei[::-1]], axis=1)
+    g = build_graph(ei, None, 5000, "gcn", materialize_dense=False,
+                    materialize_bcsr=True, sparse_layout="auto")
+    assert g.dense is None and (g.band is not None or g.bcsr is not None)
