@@ -177,7 +177,8 @@ def bench_bcsr_large(hidden=64):
     )
 
     best = 0.0
-    for ddtype in ("f32", "bf16"):
+    per_dtype = {}
+    for ddtype in ("f32", "bf16", "int8"):
         graph = build_graph(ei, None, n, "gcn", materialize_dense=False,
                             materialize_bcsr=True, dense_dtype=ddtype)
         if graph.band is not None:
@@ -208,6 +209,7 @@ def bench_bcsr_large(hidden=64):
         eps = graph.n_edge / dt
         print(f"  glass_tpu spmm[pallas-{ddtype}]: {dt * 1e6:.1f} us/iter"
               f" = {eps / 1e9:.3f} G edges/s", file=sys.stderr)
+        per_dtype[ddtype] = eps
         best = max(best, eps)
 
         # training: fwd + bwd (dx = A^T @ g through the same kernel);
@@ -233,7 +235,7 @@ def bench_bcsr_large(hidden=64):
         print(f"  glass_tpu spmm[pallas-{ddtype}] fwd+bwd: "
               f"{dt * 1e6:.1f} us/iter = {teps / 1e9:.3f} G edges/s "
               f"({100 * teps / (2 * eps):.0f}% of fwd-only)", file=sys.stderr)
-    return best, ei, n
+    return best, per_dtype, ei, n
 
 
 def bench_e2e_training(ei, n, hidden=64, layers=1, batch=6, sub_size=32,
@@ -345,7 +347,7 @@ def main():
           file=sys.stderr)
 
     # em_user-scale block-sparse graph: the Pallas BCSR regime (headline)
-    ours, ei_big, n_big = bench_bcsr_large()
+    ours, per_dtype, ei_big, n_big = bench_bcsr_large()
     theirs = bench_torch_reference(ei_big, n_big, iters=3)
 
     # end-to-end training leg on the same 9M-edge graph (VERDICT r2 item 7a)
@@ -358,6 +360,7 @@ def main():
         "vs_baseline": round(ours / theirs, 3),
         "e2e_train_steps_per_s": round(e2e_sps, 1),
         "e2e_train_edges_per_s": round(e2e_eps, 1),
+        "per_dtype_edges_per_s": {k: round(v, 1) for k, v in per_dtype.items()},
         "density_vs_torch_cpu": round(small_ours / small_theirs, 3),
     }))
 

@@ -27,7 +27,10 @@ def precision_for(block_dtype):
 
 
 def zero_cotangent(a):
-    """Zero cotangent with the dtype jax expects: float0 for integer primals."""
+    """Zero cotangent with the dtype jax expects: float0 for integer primals,
+    None for absent (None) pytree leaves."""
+    if a is None:
+        return None
     if jnp.issubdtype(a.dtype, jnp.inexact):
         return jnp.zeros_like(a)
     return np.zeros(a.shape, jax.dtypes.float0)

@@ -254,7 +254,7 @@ def build_graph(
         # duplicate (row, col) pairs accumulate, matching sparse-COO semantics
         np.add.at(d, (row[:n_edge], col[:n_edge]), w[:n_edge])
         dense = jnp.asarray(d)
-        if dense_dtype == "bf16":
+        if dense_dtype in ("bf16", "int8"):  # int8 applies to band slabs only
             dense = dense.astype(jnp.bfloat16)
 
     bcsr = bcsr_t = band = band_t = None
@@ -262,7 +262,12 @@ def build_graph(
         from glass_tpu.ops.pallas_spmm import build_bcsr, coo_is_symmetric
         from glass_tpu.ops import pallas_band
 
-        bdtype = "float32" if dense_dtype == "f32" else "bfloat16"
+        # "int8" applies only to affine band slabs (per-row dequant scales,
+        # ops/pallas_band.py); every other layout quietly runs bf16 — the
+        # next-fastest mode — so one flag serves mixed-layout graphs.
+        bdtype = {"f32": "float32", "int8": "bfloat16"}.get(
+            dense_dtype, "bfloat16")
+        want_int8 = dense_dtype == "int8"
         r_, c_, w_ = row[:n_edge], col[:n_edge], w[:n_edge]
         r_np, c_np, w_np = np.asarray(r_), np.asarray(c_), np.asarray(w_)
         symmetric = coo_is_symmetric(r_np, c_np, w_np)
@@ -280,14 +285,14 @@ def build_graph(
             # matrix, and very large scattered graphs can exceed memory in
             # any materialized layout — in which case the segment path is
             # the honest answer.
-            itemsize_d = 2 if dense_dtype == "bf16" else 4
+            itemsize_d = 4 if dense_dtype == "f32" else 2
             _, _, stream_bps = _cost_constants()
             sparse_best = min(_costs.values()) if _costs else float("inf")
             dense_bytes = n_node * n_node * itemsize_d
             dense_cost = (
                 dense_bytes / stream_bps
                 + 2.0 * n_node * n_node * 128 / _MXU_FLOPS[
-                    "bf16" if dense_dtype == "bf16" else "f32"]
+                    "f32" if dense_dtype == "f32" else "bf16"]
             )
             seg_cost = n_edge * 2 * (16 + 128 * 4) / _GATHER_BPS
             # HBM cap: a chosen layout whose stored blocks exceed the cap is
@@ -319,7 +324,7 @@ def build_graph(
             d = np.zeros((n_node, n_node), dtype=np.float32)
             np.add.at(d, (row[:n_edge], col[:n_edge]), w[:n_edge])
             dense = jnp.asarray(d)
-            if dense_dtype == "bf16":
+            if dense_dtype in ("bf16", "int8"):
                 dense = dense.astype(jnp.bfloat16)
         if kind == "band" and not symmetric:
             # The band VJP needs a banded A^T, so the transposed layout must
@@ -335,7 +340,7 @@ def build_graph(
             if kind_t != "band":
                 kind = "bcsr"
         if kind == "band":
-            itemsize_b = 2 if dense_dtype == "bf16" else 4
+            itemsize_b = 4 if dense_dtype == "f32" else 2
 
             def _maybe_affine(rr, cc, ww, rps_):
                 """Affine (block-DIA) law when its byte inflation over the
@@ -356,14 +361,16 @@ def build_graph(
                 return None
 
             aff = _maybe_affine(r_, c_, w_, rps)
+            bdt = "int8" if (want_int8 and aff is not None) else bdtype
             band = pallas_band.build_band(r_, c_, w_, n_node, rps,
-                                          dtype=bdtype, affine=aff)
+                                          dtype=bdt, affine=aff)
             if symmetric:
                 band_t = band
             else:
                 aff_t = _maybe_affine(c_, r_, w_, rps_t)
+                bdt_t = "int8" if (want_int8 and aff_t is not None) else bdtype
                 band_t = pallas_band.build_band(
-                    c_, r_, w_, n_node, rps_t, dtype=bdtype, affine=aff_t
+                    c_, r_, w_, n_node, rps_t, dtype=bdt_t, affine=aff_t
                 )
         elif kind == "hybrid":
             # split A = A_band + A_outlier; the split is symmetrized (an edge
@@ -547,7 +554,7 @@ def _plan_block_sparse(
     col = np.asarray(col)
     keep = np.asarray(w) != 0
     r_, c_ = row[keep], col[keep]
-    itemsize = 2 if dense_dtype == "bf16" else 4
+    itemsize = 4 if dense_dtype == "f32" else 2
     h_pad = 128  # the common GLASS hidden sizes (<=128) pad to one lane tile
     if r_.size == 0:
         return _ret("bcsr", None, None)

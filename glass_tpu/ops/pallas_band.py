@@ -94,6 +94,12 @@ class BandedAdj:
     # DMA covers a whole multi-group step. None = per-group windows.
     affine_stride: Optional[int] = struct.field(pytree_node=False, default=None)
     affine_off: Optional[int] = struct.field(pytree_node=False, default=None)
+    # int8 slabs: per-OUTPUT-ROW dequantization scales, lane-broadcast to
+    # (n_g, rps*BLOCK, BLOCK) f32 so the pipelined block DMA stays
+    # lane-tile-aligned. slab values are int8 with
+    # A[r, c] = row_scale[r] * slabs[r, c]; the kernel converts int8->bf16
+    # (no multiply), dots, then scales the output rows. None = f32/bf16.
+    row_scale: Optional[jnp.ndarray] = None
 
     @property
     def n_groups(self) -> int:
@@ -351,11 +357,22 @@ def build_band_arrays(row, col, weight, n_node: int, rps: int = 8, dtype="float3
         slabs = np.bincount(flat, weights=weight, minlength=size).reshape(
             n_g, rps * BLOCK, w * BLOCK
         ).astype(np.float32)
-    if dtype in ("bfloat16", "bf16"):
+    row_scale = None
+    if dtype == "int8":
+        # per-output-row symmetric quantization: relative error <= 1/254 of
+        # each row's max |weight| (gcn rows share a 1/sqrt(deg_r) factor, so
+        # within-row dynamic range is the neighbors' 1/sqrt(deg_c) spread)
+        amax = np.abs(slabs).max(axis=2, keepdims=True)  # (n_g, rps*B, 1)
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        slabs = np.rint(slabs / scale).astype(np.int8)
+        row_scale = np.ascontiguousarray(
+            np.broadcast_to(scale, scale.shape[:2] + (BLOCK,))
+        )
+    elif dtype in ("bfloat16", "bf16"):
         slabs = slabs.astype(jnp.bfloat16)
     n_cb = -(-(n_col if n_col is not None else n_node) // BLOCK)
     return dict(slabs=slabs, clo=clo, n_rb=n_rb, n_cb=n_cb, w_blocks=w,
-                g_lo=g_lo, n_g_total=n_g_total)
+                g_lo=g_lo, n_g_total=n_g_total, row_scale=row_scale)
 
 
 def build_band(row, col, weight, n_node: int, rps: int = 8, dtype="float32",
@@ -373,6 +390,11 @@ def build_band(row, col, weight, n_node: int, rps: int = 8, dtype="float32",
         a_stride, a_off, w_aff = affine
         n_rb = -(-n_node // BLOCK)
         window = (w_aff, affine_clo(-(-n_rb // rps), a_stride, a_off))
+    if dtype == "int8" and a_stride is None:
+        raise ValueError(
+            "int8 slabs are supported only for affine (block-DIA) layouts — "
+            "pass affine=affine_fit(...) or use dtype='bfloat16'"
+        )
     a = build_band_arrays(row, col, weight, n_node, rps, dtype, window=window,
                           n_col=n_col, trim_groups=trim_groups)
     return BandedAdj(
@@ -388,6 +410,8 @@ def build_band(row, col, weight, n_node: int, rps: int = 8, dtype="float32",
         n_g_total=a["n_g_total"],
         affine_stride=a_stride,
         affine_off=a_off,
+        row_scale=(None if a["row_scale"] is None
+                   else jnp.asarray(a["row_scale"])),
     )
 
 
@@ -636,16 +660,70 @@ def _band_kernel_affine(
         )
 
 
+def _band_kernel_affine_q(
+    x_hbm,
+    slabs_ref,  # (gps, rps*BLOCK, W*BLOCK) VMEM int8
+    scale_ref,  # (gps, rps*BLOCK, BLOCK) VMEM f32 per-output-row scales
+    out_ref,
+    xpan,
+    sems,
+    *,
+    n_sg,
+    wb,
+    rps,
+    gps,
+    stride,
+    base,
+):
+    """int8 variant of _band_kernel_affine: slabs are int8 (HALF the bf16
+    stream bytes — the kernel is DMA-bound, so ~2x), converted to bf16 with
+    no multiply; the per-output-row dequantization scale multiplies the dot
+    result (out rows), which costs one VPU pass over the (rps*128, H) block."""
+    i = pl.program_id(0)
+    panel_rows = ((gps - 1) * stride + wb) * BLOCK
+
+    def pdma(c):
+        slot = jax.lax.rem(c, NBUF)
+        start = (c * gps * stride + base) * BLOCK
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(pl.multiple_of(start, BLOCK), panel_rows), :],
+            xpan.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        pdma(0).start()
+
+    @pl.when(i + 1 < n_sg)
+    def _():
+        pdma(i + 1).start()
+
+    pdma(i).wait()
+    slot = jax.lax.rem(i, NBUF)
+    for j in range(gps):
+        acc = jnp.dot(
+            slabs_ref[j].astype(jnp.bfloat16),
+            xpan[slot, j * stride * BLOCK: j * stride * BLOCK + wb * BLOCK, :],
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[j * rps * BLOCK:(j + 1) * rps * BLOCK, :] = (
+            acc * scale_ref[j][:, :1]
+        )
+
+
 def _pick_gps_affine(n_g: int, stride: int, wb: int, rps: int, hp: int,
-                     slab_isz: int, x_isz: int) -> int:
-    """Largest divisor of n_g whose slab block + x panel + out blocks fit."""
+                     slab_isz: int, x_isz: int, scale_isz: int = 0) -> int:
+    """Largest divisor of n_g whose slab block + x panel + out blocks (+
+    dequant scale blocks when int8) fit."""
     for gps in (32, 16, 8, 28, 14, 7, 4, 2, 1):
         if n_g % gps:
             continue
         slab = 2 * gps * rps * BLOCK * wb * BLOCK * slab_isz
         out = 2 * gps * rps * BLOCK * hp * 4
         pan = NBUF * ((gps - 1) * stride + wb) * BLOCK * hp * x_isz
-        if slab + out + pan <= _VMEM_BUDGET:
+        sc = 2 * gps * rps * BLOCK * BLOCK * scale_isz
+        if slab + out + pan + sc <= _VMEM_BUDGET:
             return gps
     return 1
 
@@ -726,6 +804,10 @@ def band_spmm(
     DMA channels (see _band_kernel_striped)."""
     h_in = x.shape[1]
     block_dtype = band.slabs.dtype
+    if block_dtype == jnp.int8 and (
+            band.affine_stride is None or band.g_lo is not None):
+        raise ValueError("int8 slabs are supported only by the affine "
+                         "(block-DIA) kernel")
     x_dtype = jnp.bfloat16 if block_dtype == jnp.bfloat16 else x.dtype
     wb = band.w_blocks
     rps = band.rps
@@ -899,13 +981,16 @@ def _band_spmm_affine(band: BandedAdj, x: jnp.ndarray, interpret: bool):
     scale — measured with dispatch-floor-corrected differential timing)."""
     h_in = x.shape[1]
     block_dtype = band.slabs.dtype
-    x_dtype = jnp.bfloat16 if block_dtype == jnp.bfloat16 else x.dtype
+    quant = block_dtype == jnp.int8
+    x_dtype = (jnp.bfloat16 if (block_dtype == jnp.bfloat16 or quant)
+               else x.dtype)
     hp = _lane_pad(h_in)
     stride, off = band.affine_stride, band.affine_off
     wb, rps, n_g = band.w_blocks, band.rps, band.n_groups
     gps = _pick_gps_affine(
         n_g, stride, wb, rps, hp,
         jnp.dtype(block_dtype).itemsize, jnp.dtype(x_dtype).itemsize,
+        scale_isz=4 if quant else 0,
     )
     n_sg = n_g // gps
     panel_rows = ((gps - 1) * stride + wb) * BLOCK
@@ -921,36 +1006,48 @@ def _band_spmm_affine(band: BandedAdj, x: jnp.ndarray, interpret: bool):
         ((pad_lo * BLOCK, rows_pad - pad_lo * BLOCK - x.shape[0]),
          (0, hp - h_in)),
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # x: manual panel DMA
+        pl.BlockSpec(
+            (gps, rps * BLOCK, wb * BLOCK), lambda i: (i, 0, 0)
+        ),
+    ]
+    operands = [x_pad, band.slabs]
+    if quant:
+        in_specs.append(
+            pl.BlockSpec((gps, rps * BLOCK, BLOCK), lambda i: (i, 0, 0))
+        )
+        operands.append(band.row_scale)
+        kernel = functools.partial(
+            _band_kernel_affine_q, n_sg=n_sg, wb=wb,
+            rps=rps, gps=gps, stride=stride, base=base,
+        )
+    else:
+        kernel = functools.partial(
+            _band_kernel_affine, block_dtype=block_dtype, n_sg=n_sg, wb=wb,
+            rps=rps, gps=gps, stride=stride, base=base,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_sg,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x: manual panel DMA
-            pl.BlockSpec(
-                (gps, rps * BLOCK, wb * BLOCK), lambda i: (i, 0, 0)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((gps * rps * BLOCK, hp), lambda i: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((NBUF, panel_rows, hp), x_dtype),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
-    kernel = functools.partial(
-        _band_kernel_affine, block_dtype=block_dtype, n_sg=n_sg, wb=wb,
-        rps=rps, gps=gps, stride=stride, base=base,
-    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_g * rps * BLOCK, hp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(x_pad, band.slabs)
+    )(*operands)
     return out[: band.n_node, :h_in]
 
 
 def _band_tree(b: BandedAdj):
-    return (b.slabs, b.clo) if b.g_lo is None else (b.slabs, b.clo, b.g_lo)
+    return (b.slabs, b.clo, b.g_lo, b.row_scale)
 
 
 def _band_untree(t, meta) -> BandedAdj:
@@ -958,8 +1055,9 @@ def _band_untree(t, meta) -> BandedAdj:
     return BandedAdj(
         slabs=t[0], clo=t[1], n_rb=n_rb, n_cb=n_cb, n_node=n_node,
         rps=rps, w_blocks=wb,
-        g_lo=t[2] if len(t) > 2 else None, n_g_total=n_g_total,
+        g_lo=t[2], n_g_total=n_g_total,
         affine_stride=a_stride, affine_off=a_off,
+        row_scale=t[3],
     )
 
 

@@ -426,3 +426,42 @@ def test_band_affine_differentiable(rng):
     gr_d = jax.grad(lambda v: (spmm(g_dense, v, "dense") ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(gr_b), np.asarray(gr_d),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_int8_affine_band_matches_f32():
+    """int8 slabs with per-output-row dequant scales: forward and gradient
+    within quantization tolerance of the f32 layout (affine block-DIA only)."""
+    from glass_tpu.ops.graph import build_graph
+    from glass_tpu.ops.spmm import spmm
+
+    rng = np.random.default_rng(0)
+    n = 8 * BLOCK
+    r = np.repeat(np.arange(n), 4)
+    c = np.clip(r + rng.integers(-BLOCK, BLOCK, size=r.size), 0, n - 1)
+    ei = np.concatenate([np.stack([r, c]), np.stack([c, r])], axis=1)
+    g8 = build_graph(ei, None, n, "gcn", materialize_dense=False,
+                     materialize_bcsr=True, sparse_layout="band",
+                     dense_dtype="int8")
+    g32 = build_graph(ei, None, n, "gcn", materialize_dense=False,
+                      materialize_bcsr=True, sparse_layout="band")
+    assert g8.band.slabs.dtype == jnp.int8
+    assert g8.band.affine_stride is not None
+    assert g8.band.row_scale is not None
+    x = jnp.asarray(rng.random((n, 64)).astype(np.float32))
+    o8 = np.asarray(spmm(g8, x, "band"))
+    o32 = np.asarray(spmm(g32, x, "band"))
+    assert np.abs(o8 - o32).max() / np.abs(o32).max() < 2e-2
+
+    d8 = jax.grad(lambda x: (spmm(g8, x, "band") ** 2).sum())(x)
+    d32 = jax.grad(lambda x: (spmm(g32, x, "band") ** 2).sum())(x)
+    assert float(jnp.abs(d8 - d32).max() / jnp.abs(d32).max()) < 3e-2
+
+
+def test_int8_requires_affine_layout():
+    from glass_tpu.ops.pallas_band import build_band
+
+    r = np.arange(1, 4 * BLOCK)
+    c = r - 1
+    w = np.ones(r.size, np.float32)
+    with pytest.raises(ValueError, match="affine"):
+        build_band(r, c, w, 4 * BLOCK, rps=1, dtype="int8")

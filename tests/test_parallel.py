@@ -981,3 +981,48 @@ def test_sharded_hybrid_training_matches_single_device(rng):
     np.testing.assert_allclose(float(sh_loss), float(ref_loss), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(sh_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-2)
+
+
+def test_sharded_training_with_dropout_runs(rng):
+    """HWDropout (hardware-RNG mask bits) must execute inside shard_map and
+    GSPMD programs. Dropout sits after the SpMM in GLASSConv, so it is
+    purely row-local — per-shard mask streams need no cross-shard
+    consistency; this asserts execution and a finite, decreasing-capable
+    loss, not bit-equality with the single-device run (RNG streams differ
+    by construction)."""
+    ei, n = toy(rng, n=50, e=200)
+    n_sub, L = 8, 5
+    pos = np.stack([rng.choice(n, size=L, replace=False) for _ in range(n_sub)])
+    y = rng.integers(0, 3, size=n_sub)
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=2,
+                  output_channels=(3,), pools=("size",), dropout=0.5,
+                  activation="elu", z_ratio=0.8, jk=True)
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    cfg = TrainConfig(lr=1e-2, batch_size=n_sub, loss="ce", use_z=True)
+
+    pg = partition_graph(ei, None, n, "mean", 4)
+    mesh = make_mesh(graph_shards=4, data_shards=2)
+    st = ShardedTrainer(model, pg, x, cfg, mesh)
+    params, opt_state, plateau = st.init(0, jnp.asarray(pos))
+    p2, o2, loss = st.train_step(params, opt_state, plateau.lr,
+                                 jax.random.PRNGKey(7), pos, y)
+    assert np.isfinite(float(loss))
+    # params actually moved
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2))
+    )
+    assert moved
+
+    # GSPMD data-parallel path with dropout
+    from glass_tpu.ops.graph import build_graph
+    from glass_tpu.parallel.auto import AutoTrainer
+
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    mesh2 = make_mesh(graph_shards=1, data_shards=8)
+    at = AutoTrainer(model, g, jnp.asarray(x.astype(np.int32)), cfg, mesh2)
+    ap, ao, aplat = at.init(0, jnp.asarray(pos))
+    ap2, ao2, aplat2, _, aloss = at.train_epoch(
+        ap, ao, aplat, jax.random.PRNGKey(3),
+        jnp.asarray(pos[None]), jnp.asarray(y[None]))
+    assert np.isfinite(float(aloss))

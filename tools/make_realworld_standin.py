@@ -83,12 +83,26 @@ def make_graph(n, e, n_modules, rng, intra=0.8):
             members)
 
 
-def make_dataset(name: str, out_root: Path, seed: int = 0):
+def make_dataset(name: str, out_root: Path, seed: int = 0,
+                 hardness: float = 0.0):
+    """``hardness`` in [0, 1]: 0 = the original well-separated generator
+    (F1 saturates at ~1.0 — proves the pipeline, shows nothing else);
+    higher values overlap the class module pools, weaken the subgraph core
+    fraction, and flip a fraction of labels, so the rehearsal lands in the
+    real datasets' F1 regime (~0.6-0.9) and the protocol's selection
+    machinery actually discriminates."""
     p = PROFILES[name]
     rng = np.random.default_rng(seed)
     n, c = p["n"], p["c"]
     n_modules = 8 * c  # 8 modules per class
     src, dst, module, members = make_graph(n, p["e"], n_modules, rng)
+    # class -> module pool; with hardness, neighbors share some modules
+    n_shared = int(round(hardness * 4))  # up to half of each class's 8
+    class_mods = []
+    for lab in range(c):
+        own = list(range(8 * lab, 8 * lab + 8 - n_shared))
+        borrow = [(8 * ((lab + 1) % c) + j) % n_modules for j in range(n_shared)]
+        class_mods.append(own + borrow)
 
     d = out_root / "dataset" / name
     d.mkdir(parents=True, exist_ok=True)
@@ -104,6 +118,8 @@ def make_dataset(name: str, out_root: Path, seed: int = 0):
     tags += ["test"] * (n_sub - len(tags))
     tags = [tags[i] for i in rng.permutation(n_sub)]
 
+    core_frac = 0.8 - 0.35 * hardness
+    flip_p = 0.15 * hardness
     lines = []
     for i in range(n_sub):
         if p["multilabel"]:
@@ -112,14 +128,20 @@ def make_dataset(name: str, out_root: Path, seed: int = 0):
         else:
             labs = [int(rng.integers(0, c))]
         size = max(3, int(rng.normal(mu, sd)))
-        # nodes: mostly from the labels' module pools, ~20% global noise
+        # nodes: mostly from the labels' module pools, rest global noise
         pool = np.concatenate(
-            [members[8 * lab + int(rng.integers(0, 8))] for lab in labs]
+            [members[class_mods[lab][int(rng.integers(0, 8))]] for lab in labs]
         )
-        n_core = max(1, int(size * 0.8))
+        n_core = max(1, int(size * core_frac))
         core = rng.choice(pool, size=min(n_core, len(pool)), replace=False)
         noise = rng.choice(n, size=size - len(core), replace=False)
         nodes = np.unique(np.concatenate([core, noise]))
+        if flip_p > 0 and rng.random() < flip_p:
+            if p["multilabel"]:
+                k = int(rng.integers(1, 4))
+                labs = sorted(rng.choice(c, size=k, replace=False).tolist())
+            else:
+                labs = [int(rng.integers(0, c))]
         lines.append(
             f"{'-'.join(map(str, nodes))}\t"
             f"{'-'.join(letters[l] for l in labs)}\t{tags[i]}\n"
@@ -136,9 +158,12 @@ def main():
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--datasets", nargs="+", default=list(PROFILES))
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--hardness", type=float, default=0.0,
+                    help="0 = well-separated (F1 ~1.0, pipeline smoke); "
+                    "~0.7 lands in the real datasets' F1 regime (0.6-0.9)")
     args = ap.parse_args()
     for name in args.datasets:
-        make_dataset(name, Path(args.out), args.seed)
+        make_dataset(name, Path(args.out), args.seed, args.hardness)
 
 
 if __name__ == "__main__":
