@@ -19,6 +19,7 @@ reproduced faithfully:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, Optional
 
@@ -37,6 +38,13 @@ from glass_tpu.train.loop import (
     make_eval_batches,
 )
 from glass_tpu.train.metrics import binary_f1, micro_f1
+
+# Max lax.scan steps per pre-gate multi-epoch dispatch (see the chunking
+# note in _run_one). 172 steps x ~0.4 s segment-path steps completed at
+# em_user scale while 774 crashed the remote worker; 128 keeps the largest
+# single-chip workloads under ~1 min/dispatch and costs small graphs only
+# a handful of extra ~27 ms dispatches. Env-overridable for bigger chips.
+_PRE_GATE_MAX_STEPS = int(os.environ.get("GLASS_TPU_PRE_GATE_MAX_STEPS", 128))
 
 
 @dataclasses.dataclass
@@ -346,22 +354,34 @@ def _run_one(
 
     # Before the eval gate opens no host decision depends on per-epoch state,
     # so run those epochs as one multi-epoch XLA program (plateau schedule
-    # advanced in-scan) — identical math, K-1 fewer dispatches.
+    # advanced in-scan) — identical math, K-1 fewer dispatches. The program
+    # is CHUNKED to at most _PRE_GATE_MAX_STEPS scan steps per dispatch:
+    # the remote-TPU worker dies on minutes-long single dispatches
+    # (reproduced at em_user scale: an 18-epoch x 43-batch program whose
+    # segment-path steps run ~0.4 s crashes the worker, while 4-epoch
+    # chunks of the SAME math complete — a per-dispatch execution limit,
+    # not a memory one). Chunking is mathematically identical: the scan
+    # carry (params/opt/plateau/rng) round-trips between chunks.
     i = start_epoch - 1
     loss_val = float("nan")
     pre = min(int(np.floor(eval_after)) + (0 if eval_after == int(eval_after) else 1),
               cfg.max_epochs)
     n_pre = pre - start_epoch
     if n_pre > 1 and hasattr(trainer, "train_epochs"):
-        batches = [make_train_batches(rng, trn_pos, trn_y, cfg.batch_size)
-                   for _ in range(n_pre)]
-        pos_bs = jnp.asarray(np.stack([b[0] for b in batches]))
-        y_bs = jnp.asarray(np.stack([b[1] for b in batches]))
-        meter.start()
-        params, opt_state, plateau, rng_jax, losses = trainer.train_epochs(
-            params, opt_state, plateau, rng_jax, pos_bs, y_bs
-        )
-        meter.tick(nb_per_epoch * n_pre)
+        max_ep = max(1, _PRE_GATE_MAX_STEPS // max(nb_per_epoch, 1))
+        done = 0
+        while done < n_pre:
+            k = min(max_ep, n_pre - done)
+            batches = [make_train_batches(rng, trn_pos, trn_y, cfg.batch_size)
+                       for _ in range(k)]
+            pos_bs = jnp.asarray(np.stack([b[0] for b in batches]))
+            y_bs = jnp.asarray(np.stack([b[1] for b in batches]))
+            meter.start()
+            params, opt_state, plateau, rng_jax, losses = trainer.train_epochs(
+                params, opt_state, plateau, rng_jax, pos_bs, y_bs
+            )
+            meter.tick(nb_per_epoch * k)
+            done += k
         loss_val = float(losses[-1])
         i = pre - 1
         save_state(i)
