@@ -95,10 +95,12 @@ class BandedAdj:
     affine_stride: Optional[int] = struct.field(pytree_node=False, default=None)
     affine_off: Optional[int] = struct.field(pytree_node=False, default=None)
     # int8 slabs: per-OUTPUT-ROW dequantization scales, lane-broadcast to
-    # (n_g, rps*BLOCK, BLOCK) f32 so the pipelined block DMA stays
-    # lane-tile-aligned. slab values are int8 with
-    # A[r, c] = row_scale[r] * slabs[r, c]; the kernel converts int8->bf16
-    # (no multiply), dots, then scales the output rows. None = f32/bf16.
+    # (n_g, rps*BLOCK, BLOCK) bf16 so the pipelined block DMA stays
+    # lane-tile-aligned (bf16: the scales are the kernel's second DMA
+    # stream — half their bytes is a direct throughput win). Slab values
+    # are int8 with A[r, c] = row_scale[r] * slabs[r, c]; the kernel
+    # converts int8->bf16 (no multiply), dots, then scales the output
+    # rows. None = f32/bf16 slabs.
     row_scale: Optional[jnp.ndarray] = None
 
     @property
@@ -365,9 +367,13 @@ def build_band_arrays(row, col, weight, n_node: int, rps: int = 8, dtype="float3
         amax = np.abs(slabs).max(axis=2, keepdims=True)  # (n_g, rps*B, 1)
         scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
         slabs = np.rint(slabs / scale).astype(np.int8)
+        # scales stream lane-broadcast next to the slabs; bf16 halves their
+        # bytes (the int8 kernel is two-stream DMA-bound and the scales are
+        # otherwise HALF its traffic) at <=0.4% extra multiplicative error —
+        # inside the quantization's own tolerance
         row_scale = np.ascontiguousarray(
             np.broadcast_to(scale, scale.shape[:2] + (BLOCK,))
-        )
+        ).astype(jnp.bfloat16)
     elif dtype in ("bfloat16", "bf16"):
         slabs = slabs.astype(jnp.bfloat16)
     n_cb = -(-(n_col if n_col is not None else n_node) // BLOCK)
@@ -990,7 +996,7 @@ def _band_spmm_affine(band: BandedAdj, x: jnp.ndarray, interpret: bool):
     gps = _pick_gps_affine(
         n_g, stride, wb, rps, hp,
         jnp.dtype(block_dtype).itemsize, jnp.dtype(x_dtype).itemsize,
-        scale_isz=4 if quant else 0,
+        scale_isz=2 if quant else 0,
     )
     n_sg = n_g // gps
     panel_rows = ((gps - 1) * stride + wb) * BLOCK
