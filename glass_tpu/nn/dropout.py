@@ -11,8 +11,12 @@ TPUs have a hardware RNG instruction exposed through XLA's RngBitGenerator
 ('rbg'). This module keeps nn.Dropout's exact semantics — same keep
 probability, inverted scaling, the 'dropout' rng collection, ``deterministic``
 flag — but draws the mask bits via the rbg generator seeded from the usual
-threefry stream key, so determinism-given-key and kill-and-resume
-bit-equivalence are preserved (the rbg bits are a pure function of the key).
+threefry stream key, so determinism-given-key holds on a fixed
+backend/compiler: XLA documents RngBitGenerator output as potentially
+changing across backends and compiler versions (unlike threefry), so
+kill-and-resume bit-equivalence is guaranteed only when resuming on the
+same backend and compiler — harmless for dropout masks, which are never
+bit-compared across systems.
 
 The keep decision is ``bits >= rate * 2^32`` on uniform uint32 bits, i.e.
 P(keep) = 1 - rate exactly, matching ``random.bernoulli(key, 1 - rate)``

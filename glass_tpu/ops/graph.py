@@ -312,6 +312,26 @@ def build_graph(
                     n_node, rps,
                 )
                 stored_bytes = nbytes_b * (itemsize_d / 4)
+            elif kind == "hybrid":
+                # band-part slabs + outlier BCSR blocks, so a hybrid winner
+                # is held to the same HBM cap as the single layouts
+                n_cb_h = -(-n_node // BCSR_BLOCK)
+                n_g_h = -(-n_cb_h // rps)
+                band_bytes = (
+                    n_g_h * rps * BCSR_BLOCK * wb * BCSR_BLOCK * itemsize_d
+                )
+                keep_m = w_np != 0
+                _, in_b = pallas_band.plan_windows(
+                    r_np[keep_m], c_np[keep_m], w_np[keep_m], n_node, rps, wb
+                )
+                ro = r_np[keep_m][~in_b]
+                co = c_np[keep_m][~in_b]
+                n_blk_o = np.unique(
+                    (ro // BCSR_BLOCK) * n_cb_h + co // BCSR_BLOCK
+                ).size
+                stored_bytes = band_bytes + (
+                    n_blk_o * BCSR_BLOCK * BCSR_BLOCK * itemsize_d
+                )
             if stored_bytes > _LAYOUT_BYTES_CAP:
                 sparse_best = float("inf")
             if dense_bytes > _DENSE_MXU_BYTES_CAP:

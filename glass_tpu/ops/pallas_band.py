@@ -36,6 +36,7 @@ the banded layout is a performance specialization, not a semantic change.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import numpy as np
@@ -59,7 +60,13 @@ NBUF = 2  # x-window double buffering
 # (a (N, 64) buffer physically occupies (N, 128)), so the budget can sit
 # close to the hardware limit. The whole-x bf16 path at em_user scale needs
 # 15.46 MiB and compiles; 18 MiB OOMs (both observed on the live chip).
-_VMEM_BUDGET = int(15.5 * 1024 * 1024)
+# Calibratable: a compile-time VMEM OOM on another chip/compiler version is
+# recoverable with GLASS_TPU_VMEM_BUDGET_MIB=<smaller> (no code change) —
+# the same knob also re-gates the xvmem/striped choices and the planner's
+# band_vmem_ok.
+_VMEM_BUDGET = int(
+    float(os.environ.get("GLASS_TPU_VMEM_BUDGET_MIB", "15.5")) * 1024 * 1024
+)
 
 
 @struct.dataclass
@@ -721,7 +728,13 @@ def _band_kernel_affine_q(
 def _pick_gps_affine(n_g: int, stride: int, wb: int, rps: int, hp: int,
                      slab_isz: int, x_isz: int, scale_isz: int = 0) -> int:
     """Largest divisor of n_g whose slab block + x panel + out blocks (+
-    dequant scale blocks when int8) fit."""
+    dequant scale blocks when int8) fit.
+
+    Raises when even gps=1 exceeds the VMEM budget: the affine path has no
+    alternate kernel, so a direct ``build_band(affine=...)`` caller that
+    bypasses ``build_graph``'s band_vmem_ok gate would otherwise hit an
+    opaque Mosaic VMEM overflow at compile time. Rebuild with a per-group
+    window layout (``affine=None``) or a smaller rps/width instead."""
     for gps in (32, 16, 8, 28, 14, 7, 4, 2, 1):
         if n_g % gps:
             continue
@@ -731,7 +744,12 @@ def _pick_gps_affine(n_g: int, stride: int, wb: int, rps: int, hp: int,
         sc = 2 * gps * rps * BLOCK * BLOCK * scale_isz
         if slab + out + pan + sc <= _VMEM_BUDGET:
             return gps
-    return 1
+    raise ValueError(
+        f"affine band working set exceeds the VMEM budget even at gps=1 "
+        f"(rps={rps}, w_blocks={wb}, hp={hp}, budget={_VMEM_BUDGET}): "
+        "rebuild the layout with a per-group window (affine=None) or a "
+        "smaller rps/window width"
+    )
 
 
 def _band_kernel_striped(

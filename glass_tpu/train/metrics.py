@@ -42,4 +42,8 @@ def auroc_from_logits(logits: np.ndarray, label: np.ndarray) -> float:
         return auroc(p, y)
     e = np.exp(p - p.max(axis=1, keepdims=True))
     prob = e / e.sum(axis=1, keepdims=True)
+    if prob.shape[-1] == 2:
+        # sklearn rejects a 2-column probability matrix with 1-D labels;
+        # the binary form wants the positive-class column
+        return float(roc_auc_score(y, prob[:, 1]))
     return float(roc_auc_score(y, prob, multi_class="ovr"))

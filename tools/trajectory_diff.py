@@ -27,6 +27,9 @@ import torch
 import torch.nn.functional as F
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")  # the ONLY reliable CPU override here
+
 import jax.numpy as jnp
 
 from glass_tpu.data.loaders import load_dataset
