@@ -465,3 +465,105 @@ def test_int8_requires_affine_layout():
     w = np.ones(r.size, np.float32)
     with pytest.raises(ValueError, match="affine"):
         build_band(r, c, w, 4 * BLOCK, rps=1, dtype="int8")
+
+
+# ---- affine-fit property tests off the happy path (real RCM profiles are
+# not perfectly linear; the gate in ops/graph.py::_maybe_affine must reject
+# inflating fits, keep the per-group result exact, and degrade int8 -> bf16
+# without error)
+
+
+def _piecewise_directed(rng, n):
+    """Directed band whose window law JUMPS at half depth: rows in the top
+    half sit on the main diagonal, rows in the bottom half on a far
+    off-diagonal. Per-group windows stay narrow, but a single affine law
+    must span the jump — guaranteed >1.5x inflation."""
+    half = n // 2
+    r1 = np.arange(half)
+    c1 = np.clip(r1 + rng.integers(-48, 48, half), 0, n - 1)
+    r2 = np.arange(half, n)
+    c2 = np.clip(r2 - half + rng.integers(-48, 48, half), 0, n - 1)
+    return np.stack([np.concatenate([r1, r2]), np.concatenate([c1, c2])])
+
+
+def test_affine_gate_rejects_piecewise_profile(rng):
+    """build_graph(sparse_layout='band') on a piecewise window law: the
+    affine gate must reject (inflation >1.5x), fall back to the per-group
+    window kernel, and still match dense — forward and gradient."""
+    n = 16 * BLOCK
+    ei = _piecewise_directed(rng, n)
+    g = build_graph(ei, None, n, "sum", materialize_dense=False,
+                    materialize_bcsr=True, sparse_layout="band")
+    assert g.band is not None
+    assert g.band.affine_stride is None  # gate rejected the inflating fit
+    gd = build_graph(ei, None, n, "sum", materialize_dense=True)
+    x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm(g, x, "band")),
+        np.asarray(spmm(gd, x, "dense")), rtol=1e-4, atol=1e-4)
+    gr_b = jax.grad(lambda v: (spmm(g, v, "band") ** 2).sum())(x)
+    gr_d = jax.grad(lambda v: (spmm(gd, v, "dense") ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gr_b), np.asarray(gr_d),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_affine_gate_reject_drops_int8_to_bf16(rng):
+    """dense_dtype='int8' on a gate-rejected profile must not error: int8
+    exists only for affine layouts, so the band quietly builds bf16 slabs
+    and the SpMM stays within bf16 tolerance of dense."""
+    n = 16 * BLOCK
+    ei = _piecewise_directed(rng, n)
+    g8 = build_graph(ei, None, n, "sum", materialize_dense=False,
+                     materialize_bcsr=True, sparse_layout="band",
+                     dense_dtype="int8")
+    assert g8.band.affine_stride is None
+    assert g8.band.slabs.dtype == jnp.bfloat16  # fallback, not int8
+    gd = build_graph(ei, None, n, "sum", materialize_dense=True)
+    x = jnp.asarray(rng.random((n, 32)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm(g8, x, "band")),
+        np.asarray(spmm(gd, x, "dense")), rtol=0.05, atol=0.05)
+
+
+def test_affine_gate_accepts_small_inflation(rng):
+    """A linear law with one-block wobble: the affine fit inflates the
+    window by ~1 block, inside the gate's max(wb+1, 1.5*wb) allowance —
+    accepted, and the static kernel still matches dense."""
+    n = 16 * BLOCK
+    r = np.arange(n)
+    wob = (np.sin(r / 97.0) * BLOCK * 0.6).astype(int)
+    c = np.clip(r + wob + rng.integers(-16, 16, n), 0, n - 1)
+    ei = np.stack([r, c])
+    g = build_graph(ei, None, n, "sum", materialize_dense=False,
+                    materialize_bcsr=True, sparse_layout="band")
+    assert g.band.affine_stride is not None  # gate accepted
+    gd = build_graph(ei, None, n, "sum", materialize_dense=True)
+    x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm(g, x, "band")),
+        np.asarray(spmm(gd, x, "dense")), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("stride", [2, 3])
+def test_affine_negative_offset_top_edge(rng, stride):
+    """col ~ stride*row laws whose first groups' windows start left of
+    column 0 (off < 0): the kernel pads x on the left instead of clamping,
+    so the exact affine law holds at every stride."""
+    from glass_tpu.ops.pallas_band import affine_fit, band_spmm
+
+    n = 12 * BLOCK
+    rows = np.arange(n // stride)
+    cols = np.clip(stride * rows + rng.integers(-96, 32, rows.size),
+                   0, n - 1)
+    w = np.ones(rows.size, np.float32)
+    fit = affine_fit(rows, cols, w, n, rps=1)
+    assert fit is not None
+    s, off, w_aff = fit
+    assert s == stride
+    assert off < 0  # the top-edge jitter pulls the first window left
+    band = build_band(rows, cols, w, n, rps=1, affine=fit)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (rows, cols), w)
+    x = rng.normal(size=(n, 32)).astype(np.float32)
+    out = np.asarray(band_spmm(band, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
