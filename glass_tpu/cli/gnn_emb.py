@@ -39,6 +39,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "seeded random search)")
     parser.add_argument("--spmm", type=str, default=None,
                         choices=["dense", "segment", "pallas"])
+    parser.add_argument("--autotune", action="store_true",
+                        help="calibrate the layout planner's cost model on "
+                             "THIS accelerator before planning (fits once, "
+                             "caches under ~/.cache/glass_tpu/, sets "
+                             "GLASS_TPU_AUTOTUNE for the run)")
+    parser.add_argument("--autotune_file", type=str, default=None,
+                        help="calibration JSON path for --autotune (default "
+                             "~/.cache/glass_tpu/autotune_<backend>.json)")
     return parser
 
 
@@ -49,6 +57,11 @@ def main(argv=None):
 
     if args.device == -1:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.autotune:
+        from glass_tpu.ops.autotune import ensure_autotune
+
+        ensure_autotune(args.autotune_file)
 
     from glass_tpu.train.ssl import SSLConfig, run_hpo
 

@@ -214,3 +214,30 @@ def test_planner_honors_autotune_file(tmp_path, monkeypatch):
         G._plan_block_sparse(r, c, w, n, "f32", None, "auto", True)
 
     monkeypatch.delenv("GLASS_TPU_AUTOTUNE")
+
+
+def test_ensure_autotune_reuse_and_fit(tmp_path, monkeypatch):
+    """ensure_autotune (the CLI --autotune flag): an existing calibration
+    is reused without probing; a missing one triggers exactly one fit and
+    is saved; both set GLASS_TPU_AUTOTUNE so _cost_constants picks the
+    fitted values up."""
+    import json
+    from glass_tpu.ops import autotune as at
+    from glass_tpu.ops import graph as G
+
+    monkeypatch.delenv("GLASS_TPU_AUTOTUNE", raising=False)
+    fitted = {"band_step_cost_s": 5e-6, "bcsr_step_cost_s": 7e-6,
+              "stream_bps": 123e9}
+    calls = []
+    monkeypatch.setattr(at, "fit_cost_constants",
+                        lambda **kw: calls.append(1) or dict(fitted))
+
+    p = tmp_path / "cal.json"
+    out = at.ensure_autotune(str(p))  # missing -> fit once + save
+    assert out == str(p) and p.exists() and calls == [1]
+    assert json.loads(p.read_text())["stream_bps"] == 123e9
+    assert G._cost_constants() == (5e-6, 7e-6, 123e9)
+
+    at.ensure_autotune(str(p))  # present -> reused, no second fit
+    assert calls == [1]
+    monkeypatch.delenv("GLASS_TPU_AUTOTUNE")
