@@ -106,6 +106,13 @@ class Graph:
     # real-world graphs); ``band_t`` is the transposed layout for backward.
     band: Optional[object] = None  # ops.pallas_band.BandedAdj
     band_t: Optional[object] = None  # ops.pallas_band.BandedAdj
+    # Optional int8 row-quantized dense adjacency (ops/pallas_dense.py) —
+    # replaces ``dense`` when dense_dtype == "int8" and the graph sits in
+    # the dense-MXU regime (the real-world datasets' home); ``dense_q_t``
+    # is the transposed layout for backward, the SAME object when A is
+    # symmetric.
+    dense_q: Optional[object] = None  # ops.pallas_dense.DenseQ
+    dense_q_t: Optional[object] = None  # ops.pallas_dense.DenseQ
     # Optional halo-overlap split (sharded graphs): edges whose source lies in
     # this shard's own block, with *local* column ids. When present, the
     # sharded SpMM computes this part from x_local while the all-gather of
@@ -248,14 +255,33 @@ def build_graph(
 
     if materialize_dense is None:
         materialize_dense = n_node <= DENSE_NODE_LIMIT
-    dense = None
-    if materialize_dense:
+    dense = dense_q = dense_q_t = None
+
+    def _dense_layout():
+        """(dense, dense_q, dense_q_t) for the MXU path at the requested
+        dtype. int8 builds the row-quantized Pallas layout
+        (ops/pallas_dense.py) instead of a dense jnp matrix — half the HBM
+        bytes of bf16 in the regime the real-world datasets occupy."""
         d = np.zeros((n_node, n_node), dtype=np.float32)
         # duplicate (row, col) pairs accumulate, matching sparse-COO semantics
         np.add.at(d, (row[:n_edge], col[:n_edge]), w[:n_edge])
-        dense = jnp.asarray(d)
-        if dense_dtype in ("bf16", "int8"):  # int8 applies to band slabs only
-            dense = dense.astype(jnp.bfloat16)
+        if dense_dtype == "int8":
+            from glass_tpu.ops.pallas_dense import build_dense_q, dense_q_vmem_ok
+            from glass_tpu.ops.pallas_spmm import coo_is_symmetric
+
+            if dense_q_vmem_ok(n_node, n_node):
+                dq = build_dense_q(d)
+                sym = coo_is_symmetric(
+                    np.asarray(row[:n_edge]), np.asarray(col[:n_edge]),
+                    np.asarray(w[:n_edge]))
+                return None, dq, (dq if sym else build_dense_q(d.T))
+        dj = jnp.asarray(d)
+        if dense_dtype in ("bf16", "int8"):  # int8 infeasible -> bf16
+            dj = dj.astype(jnp.bfloat16)
+        return dj, None, None
+
+    if materialize_dense:
+        dense, dense_q, dense_q_t = _dense_layout()
 
     bcsr = bcsr_t = band = band_t = None
     if materialize_bcsr:
@@ -288,7 +314,10 @@ def build_graph(
             itemsize_d = 4 if dense_dtype == "f32" else 2
             _, _, stream_bps = _cost_constants()
             sparse_best = min(_costs.values()) if _costs else float("inf")
-            dense_bytes = n_node * n_node * itemsize_d
+            # int8 halves the dense path's streamed/stored bytes again (the
+            # row-quantized Pallas layout, ops/pallas_dense.py)
+            dense_bytes = n_node * n_node * (
+                1 if dense_dtype == "int8" else itemsize_d)
             dense_cost = (
                 dense_bytes / stream_bps
                 + 2.0 * n_node * n_node * 128 / _MXU_FLOPS[
@@ -341,11 +370,7 @@ def build_graph(
             elif seg_cost < min(sparse_best, dense_cost):
                 kind = "segment"
         if kind == "dense" and not materialize_dense:
-            d = np.zeros((n_node, n_node), dtype=np.float32)
-            np.add.at(d, (row[:n_edge], col[:n_edge]), w[:n_edge])
-            dense = jnp.asarray(d)
-            if dense_dtype in ("bf16", "int8"):
-                dense = dense.astype(jnp.bfloat16)
+            dense, dense_q, dense_q_t = _dense_layout()
         if kind == "band" and not symmetric:
             # The band VJP needs a banded A^T, so the transposed layout must
             # fit VMEM too — else BCSR both ways. Plan the transpose with
@@ -438,6 +463,8 @@ def build_graph(
         bcsr_t=bcsr_t,
         band=band,
         band_t=band_t,
+        dense_q=dense_q,
+        dense_q_t=dense_q_t,
     )
 
 

@@ -129,8 +129,16 @@ def spmm_dense(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
 
     HIGHEST precision = full-f32 accumulation on the MXU (3/6-pass bf16);
     required for activation parity with the f32 reference, and still far
-    faster than any scatter path at these sizes.
+    faster than any scatter path at these sizes. ``dense_dtype='int8'``
+    graphs carry a row-quantized Pallas layout instead of a dense matrix
+    (ops/pallas_dense.py) — half bf16's HBM bytes, ~0.3% tolerance.
     """
+    if graph.dense is None and graph.dense_q is not None:
+        from glass_tpu.ops.pallas_dense import dense_q_spmm
+
+        xg = gather_global(graph, x)
+        return dense_q_spmm(graph.dense_q, graph.dense_q_t, xg,
+                            jax.default_backend() != "tpu")
     assert graph.dense is not None, "graph was built without a dense adjacency"
     xg = gather_global(graph, x)
     if graph.dense.dtype == jnp.bfloat16:
@@ -160,7 +168,8 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
         gate accepted the graph, chunked BCSR otherwise.
     """
     if mode is None:
-        mode = "dense" if graph.dense is not None else "segment"
+        has_dense = graph.dense is not None or graph.dense_q is not None
+        mode = "dense" if has_dense else "segment"
     if mode == "segment" and graph.ring_row is not None:
         mode = "ring"
     if mode == "dense":
@@ -208,7 +217,8 @@ def spmm(graph: Graph, x: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarra
         # the auto planner can decline every block-sparse layout (near-dense
         # block patterns route to the dense MXU path; oversized scattered
         # graphs to the segment path) — honor its choice here
-        mode = "dense" if graph.dense is not None else "segment"
+        mode = ("dense" if graph.dense is not None
+                or graph.dense_q is not None else "segment")
         if mode == "segment":
             return spmm_segment(graph, x)
         return spmm_dense(graph, x)
