@@ -50,7 +50,12 @@ def inject_torch_weights(flax_params, tmodel):
            "pred_0": {"kernel": tmodel.pred.weight.t(), "bias": tmodel.pred.bias}}
 
     def conv(v):
-        return jnp.asarray(v.detach().numpy())
+        # COPY, do not alias: on the CPU backend jnp.asarray of a
+        # torch-backed numpy view shares memory with the torch parameter,
+        # so every later torch optimizer.step() would silently mutate the
+        # "injected" flax params (observed: the flax trajectory tracked
+        # torch's post-epoch weights, poisoning the whole diff)
+        return jnp.asarray(np.array(v.detach().numpy(), copy=True))
 
     def rec(dst, s):
         out = {}
