@@ -36,6 +36,20 @@ ACTIVATIONS = {
 }
 
 
+def _fused_norm_enabled(n_rows: int) -> bool:
+    """GLASS_TPU_FUSED_NORM: '1' force, '0' off, default 'auto' = on for
+    TPU runs over node-scale inputs (small pooled-batch norms and the CPU
+    test/parity paths keep the reference XLA formulation)."""
+    import os
+
+    v = os.environ.get("GLASS_TPU_FUSED_NORM", "auto")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return n_rows >= 4096 and jax.default_backend() == "tpu"
+
+
 class TorchLinear(nn.Module):
     """Dense layer with torch nn.Linear's init distribution (see nn.init).
 
@@ -77,6 +91,17 @@ class GraphNorm(nn.Module):
                 x, weight, bias, mean_scale, self.eps,
                 axis=graph.axis, node_mask=graph.node_mask(),
                 n_total=graph.n_global,
+            )
+        if x.ndim == 2 and _fused_norm_enabled(x.shape[0]):
+            # fused Pallas forward+backward (ops/pallas_norm.py): identical
+            # formula, minimum HBM passes — the unfused backward reductions
+            # over (N, H) activations were the dominant non-SpMM step cost
+            # (RESULTS.md round 3 profiling)
+            from glass_tpu.ops.pallas_norm import fused_graph_norm
+
+            return fused_graph_norm(
+                x, weight, bias, mean_scale, self.eps,
+                jax.default_backend() != "tpu",
             )
         return graph_norm(x, weight, bias, mean_scale, self.eps)
 
