@@ -239,13 +239,14 @@ def bench_bcsr_large(hidden=64):
 
 
 def bench_e2e_training(ei, n, hidden=64, layers=1, batch=6, sub_size=32,
-                       steps=512):
-    """End-to-end GLASS training throughput on the 9M-edge workload: the
-    whole-epoch lax.scan the protocol actually runs (labeling -> trunk ->
-    pool -> head -> loss -> backward -> Adam), bf16 activation stream, auto
-    block-sparse layout. VERDICT r2 item 7a: the bench must track *training*,
-    not just the kernel — a model-body regression now moves the recorded
-    artifact. Returns (steps/s, model-level fwd+bwd edge-traversals/s)."""
+                       steps=512, dense=False, dense_dtype="f32",
+                       model_dtype="bfloat16", tag="bf16"):
+    """End-to-end GLASS training throughput: the whole-epoch lax.scan the
+    protocol actually runs (labeling -> trunk -> pool -> head -> loss ->
+    backward -> Adam). Two regimes (VERDICT r2 item 7a + r3 item 5):
+    the 9M-edge band workload (dense=False) and the hpo-scale dense-MXU
+    workload the real datasets occupy (dense=True).
+    Returns (steps/s, model-level fwd+bwd edge-traversals/s)."""
     import jax
     import jax.numpy as jnp
     from glass_tpu.ops.graph import build_graph
@@ -253,8 +254,8 @@ def bench_e2e_training(ei, n, hidden=64, layers=1, batch=6, sub_size=32,
     from glass_tpu.train.loop import Trainer, TrainConfig
 
     rng = np.random.default_rng(0)
-    graph = build_graph(ei, None, n, "gcn", materialize_dense=False,
-                        materialize_bcsr=True)
+    graph = build_graph(ei, None, n, "gcn", materialize_dense=dense,
+                        materialize_bcsr=not dense, dense_dtype=dense_dtype)
     x = jnp.asarray(rng.integers(0, 16, size=(n, 1)).astype(np.int32))
     pos = np.stack([rng.choice(n, size=sub_size, replace=False)
                     for _ in range(batch * steps)])
@@ -264,8 +265,9 @@ def bench_e2e_training(ei, n, hidden=64, layers=1, batch=6, sub_size=32,
 
     model = GLASS(max_deg=16, hidden_channels=hidden, num_layers=layers,
                   output_channels=(2,), pools=("size",), dropout=0.5,
-                  activation="elu", z_ratio=0.75, jk=True, spmm_mode="pallas",
-                  dtype="bfloat16")
+                  activation="elu", z_ratio=0.75, jk=True,
+                  spmm_mode=("dense" if dense else "pallas"),
+                  dtype=(None if model_dtype in (None, "f32") else model_dtype))
     cfg = TrainConfig(lr=1e-3, batch_size=batch, loss="ce", use_z=True)
     tr = Trainer(model, graph, x, cfg, donate=False)
     params, opt_state, plateau = tr.init(0, pos_b[0])
@@ -291,9 +293,22 @@ def bench_e2e_training(ei, n, hidden=64, layers=1, batch=6, sub_size=32,
     sps = 1.0 / dt
     eps = 2 * ei.shape[1] * layers / dt
     print(f"  e2e training (hidden {hidden}, {layers} layer, batch {batch}, "
-          f"bf16): {dt * 1e3:.3f} ms/step = {sps:.1f} steps/s = "
+          f"{tag}): {dt * 1e3:.3f} ms/step = {sps:.1f} steps/s = "
           f"{eps / 1e9:.2f} G model edge-traversals/s", file=sys.stderr)
     return sps, eps
+
+
+def hpo_graph(n=14587, e_directed=2600000):
+    """Unstructured random graph at the real-world (hpo_metab/hpo_neuro)
+    scale: 14,587 nodes / ~2.6M directed edges, ~1.2% dense — the regime the
+    auto planner routes to the dense-MXU path (reference datasets per
+    SURVEY.md §2.6; loaders at /root/reference/datasets.py:127-229)."""
+    rng = np.random.default_rng(7)
+    e = e_directed // 2
+    src = rng.integers(0, n, size=e)
+    dst = rng.integers(0, n, size=e)
+    return np.stack([np.concatenate([src, dst]),
+                     np.concatenate([dst, src])]), n
 
 
 def _tpu_reachable(timeout_s: float = 180.0) -> bool:
@@ -353,6 +368,16 @@ def main():
     # end-to-end training leg on the same 9M-edge graph (VERDICT r2 item 7a)
     e2e_sps, e2e_eps = bench_e2e_training(ei_big, n_big)
 
+    # hpo-scale dense-MXU regime: the layout the planner routes the real
+    # datasets to (VERDICT r3 item 5 — both regimes must be driver-tracked)
+    ei_hpo, n_hpo = hpo_graph()
+    d_bf16_sps, _ = bench_e2e_training(
+        ei_hpo, n_hpo, hidden=64, layers=2, batch=59, sub_size=16, steps=256,
+        dense=True, dense_dtype="bf16", tag="dense bf16")
+    d_int8_sps, _ = bench_e2e_training(
+        ei_hpo, n_hpo, hidden=64, layers=2, batch=59, sub_size=16, steps=256,
+        dense=True, dense_dtype="int8", tag="dense int8")
+
     print(json.dumps({
         "metric": "spmm_edges_per_s",
         "value": round(ours, 1),
@@ -360,6 +385,8 @@ def main():
         "vs_baseline": round(ours / theirs, 3),
         "e2e_train_steps_per_s": round(e2e_sps, 1),
         "e2e_train_edges_per_s": round(e2e_eps, 1),
+        "e2e_dense_bf16_steps_per_s": round(d_bf16_sps, 1),
+        "e2e_dense_int8_steps_per_s": round(d_int8_sps, 1),
         "per_dtype_edges_per_s": {k: round(v, 1) for k, v in per_dtype.items()},
         "density_vs_torch_cpu": round(small_ours / small_theirs, 3),
     }))

@@ -170,12 +170,16 @@ def dense_q_spmm(dq: DenseQ, dq_t: DenseQ, x: jnp.ndarray,
 
 
 def _fwd(dq, dq_t, x, interpret):
-    return _forward(dq, x, interpret), (dq, dq_t)
+    # empty array as a dtype carrier: residuals must be JAX types
+    return _forward(dq, x, interpret), (dq, dq_t, jnp.zeros((0,), x.dtype))
 
 
 def _bwd(interpret, res, g):
-    dq, dq_t = res
-    dx = _forward(dq_t, g, interpret)
+    dq, dq_t, x_proto = res
+    # the kernel accumulates f32; the cotangent must match the primal x's
+    # dtype (bf16 under --compute_dtype bf16) or JAX's transpose rules
+    # reject the graph
+    dx = _forward(dq_t, g, interpret).astype(x_proto.dtype)
     return (
         jax.tree_util.tree_map(_zero_cotangent, dq),
         jax.tree_util.tree_map(_zero_cotangent, dq_t),

@@ -225,6 +225,8 @@ def test_ensure_autotune_reuse_and_fit(tmp_path, monkeypatch):
     from glass_tpu.ops import autotune as at
     from glass_tpu.ops import graph as G
 
+    import os
+
     monkeypatch.delenv("GLASS_TPU_AUTOTUNE", raising=False)
     fitted = {"band_step_cost_s": 5e-6, "bcsr_step_cost_s": 7e-6,
               "stream_bps": 123e9}
@@ -232,12 +234,18 @@ def test_ensure_autotune_reuse_and_fit(tmp_path, monkeypatch):
     monkeypatch.setattr(at, "fit_cost_constants",
                         lambda **kw: calls.append(1) or dict(fitted))
 
-    p = tmp_path / "cal.json"
-    out = at.ensure_autotune(str(p))  # missing -> fit once + save
-    assert out == str(p) and p.exists() and calls == [1]
-    assert json.loads(p.read_text())["stream_bps"] == 123e9
-    assert G._cost_constants() == (5e-6, 7e-6, 123e9)
+    # ensure_autotune sets GLASS_TPU_AUTOTUNE *directly* (its contract: arm
+    # the whole process), outside monkeypatch's book-keeping — a trailing
+    # monkeypatch.delenv would RE-restore that leaked value at teardown and
+    # poison every later planner test, so clean up with a plain finally.
+    try:
+        p = tmp_path / "cal.json"
+        out = at.ensure_autotune(str(p))  # missing -> fit once + save
+        assert out == str(p) and p.exists() and calls == [1]
+        assert json.loads(p.read_text())["stream_bps"] == 123e9
+        assert G._cost_constants() == (5e-6, 7e-6, 123e9)
 
-    at.ensure_autotune(str(p))  # present -> reused, no second fit
-    assert calls == [1]
-    monkeypatch.delenv("GLASS_TPU_AUTOTUNE")
+        at.ensure_autotune(str(p))  # present -> reused, no second fit
+        assert calls == [1]
+    finally:
+        os.environ.pop("GLASS_TPU_AUTOTUNE", None)

@@ -98,3 +98,24 @@ def test_planner_routes_int8_dense(rng):
     o = np.asarray(spmm(g, x))  # mode=None auto-dispatches to dense_q
     ref = np.asarray(spmm(gd, x, "dense"))
     assert np.abs(o - ref).max() / np.abs(ref).max() < 2e-2
+
+
+def test_dense_q_grad_bf16_primal(rng):
+    """The custom VJP must return a cotangent in the primal x's dtype: under
+    --compute_dtype bf16 the activation stream is bf16 while the kernel
+    accumulates f32, and a f32 dx makes JAX's transpose rules reject the
+    whole training graph (caught wiring the hpo-scale e2e bench leg)."""
+    n, e = 512, 5000
+    ei = unstructured(rng, n, e)
+    g8 = build_graph(ei, None, n, "gcn", materialize_dense=True,
+                     dense_dtype="int8")
+    g32 = build_graph(ei, None, n, "gcn", materialize_dense=True)
+    x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    xb = x.astype(jnp.bfloat16)
+    d8 = jax.grad(lambda v: (spmm(g8, v, "dense").astype(jnp.float32) ** 2)
+                  .sum())(xb)
+    assert d8.dtype == jnp.bfloat16
+    d32 = jax.grad(lambda v: (spmm(g32, v, "dense") ** 2).sum())(x)
+    rel = float(jnp.abs(d8.astype(jnp.float32) - d32).max()
+                / jnp.abs(d32).max())
+    assert rel < 5e-2  # int8 quantization + bf16 rounding
