@@ -333,7 +333,8 @@ def build_graph(
                 bid = (r_np // BCSR_BLOCK) * (-(-n_node // BCSR_BLOCK)) \
                     + c_np // BCSR_BLOCK
                 n_blk = np.unique(bid[w_np != 0]).size
-                stored_bytes = n_blk * BCSR_BLOCK * BCSR_BLOCK * itemsize_d
+                stored_bytes = n_blk * BCSR_BLOCK * BCSR_BLOCK * (
+                    1 if dense_dtype == "int8" else itemsize_d)
             elif kind == "band":
                 keep_m = w_np != 0
                 wb_full, _, nbytes_b, _ = pallas_band.band_stats(
@@ -438,15 +439,23 @@ def build_graph(
                 c_np[sym], r_np[sym], w_np[sym], n_node, rps, dtype=bdtype,
                 window=(wb, clo),
             )
+            # the residue BCSR honors int8 (per-row scales live in the
+            # layout, so the band+residue add composes); the band part
+            # stays bf16 — hybrid windows are per-group, not affine
+            res_dt = "int8" if want_int8 else bdtype
             bcsr = build_bcsr(r_np[out], c_np[out], w_np[out], n_node,
-                              dtype=bdtype)
+                              dtype=res_dt)
             bcsr_t = bcsr if symmetric else build_bcsr(
-                c_np[out], r_np[out], w_np[out], n_node, dtype=bdtype
+                c_np[out], r_np[out], w_np[out], n_node, dtype=res_dt
             )
         elif kind == "bcsr":
-            bcsr = build_bcsr(r_, c_, w_, n_node, dtype=bdtype)
+            # int8 BCSR: per-row dequant scales inside the layout (the
+            # transposed layout quantizes per ITS rows = A's columns, so
+            # forward and backward each carry their own exact scales)
+            bcsr_dt = "int8" if want_int8 else bdtype
+            bcsr = build_bcsr(r_, c_, w_, n_node, dtype=bcsr_dt)
             bcsr_t = bcsr if symmetric else build_bcsr(
-                c_, r_, w_, n_node, dtype=bdtype
+                c_, r_, w_, n_node, dtype=bcsr_dt
             )
         # else kind in ("dense", "segment"): no block-sparse layout —
         # spmm() dispatches to the dense MXU matmul / gather-segment path
@@ -602,6 +611,10 @@ def _plan_block_sparse(
     keep = np.asarray(w) != 0
     r_, c_ = row[keep], col[keep]
     itemsize = 4 if dense_dtype == "f32" else 2
+    # int8 is honored unconditionally by the BCSR layout (per-row scales);
+    # band slabs only go int8 when the affine fit later accepts, so their
+    # cost keeps the conservative bf16 byte count
+    itemsize_bcsr = 1 if dense_dtype == "int8" else itemsize
     h_pad = 128  # the common GLASS hidden sizes (<=128) pad to one lane tile
     if r_.size == 0:
         return _ret("bcsr", None, None)
@@ -615,7 +628,7 @@ def _plan_block_sparse(
     ones = np.ones_like(r_)
     band_step_s, _, stream_bps = _cost_constants()
 
-    bcsr_cost = _bcsr_cost_model(r_, c_, n_node, itemsize)
+    bcsr_cost = _bcsr_cost_model(r_, c_, n_node, itemsize_bcsr)
     best = ("bcsr", None, None)
     best_cost = bcsr_cost
 

@@ -88,6 +88,13 @@ class BCSR:
     n_rb: int = struct.field(pytree_node=False)
     n_cb: int = struct.field(pytree_node=False)
     n_node: int = struct.field(pytree_node=False)  # real node count
+    # int8 layouts only: per-output-row dequant scales (n_rb*BLOCK,) f32.
+    # Quantization is per row of A, so the row scale factors out of the
+    # whole row accumulation and one post-kernel multiply (XLA-fused into
+    # the consumer) restores the magnitudes — same trick as the affine
+    # band slabs (ops/pallas_band.py) and the dense layout
+    # (ops/pallas_dense.py).
+    row_scale: Optional[jnp.ndarray] = None
 
     @property
     def nnz_blocks(self) -> int:
@@ -209,7 +216,30 @@ def build_bcsr_arrays(
     block_col[dst] = (uniq % n_cb).astype(np.int32)
     cstart, clen, crow, cfirst, clast = _build_chunks(ptr, n_rb)
 
-    if dtype in ("bfloat16", "bf16"):
+    row_scale = None
+    if dtype == "int8":
+        # per-row symmetric quantization of the ACCUMULATED block content
+        # (duplicate-edge sums happen in f32 first, matching COO semantics):
+        # scale[r] = max|A[r, :]| / 127, quantize each block row by its
+        # global row's scale. Row r of storage slab s is global row
+        # rb(s)*BLOCK + i, where rb(s) is the row-block owning slab s.
+        rb_of_store = np.clip(  # clip: the all-empty-graph placeholder slab
+            np.searchsorted(ptr, np.arange(n_store) * CHUNK, side="right") - 1,
+            0, n_rb - 1,
+        ).astype(np.int64)
+        row_max = np.zeros(n_rb * BLOCK, dtype=np.float32)
+        slab_max = np.abs(blocks).max(axis=2)  # (n_store, BLOCK)
+        np.maximum.at(
+            row_max.reshape(n_rb, BLOCK), rb_of_store, slab_max
+        )
+        row_scale = np.where(row_max > 0, row_max / 127.0, 1.0).astype(
+            np.float32
+        )
+        q = np.rint(
+            blocks / row_scale.reshape(n_rb, BLOCK)[rb_of_store][:, :, None]
+        )
+        blocks = np.clip(q, -127, 127).astype(np.int8)
+    elif dtype in ("bfloat16", "bf16"):
         blocks = blocks.astype(jnp.bfloat16)
     return dict(
         blocks=blocks,
@@ -222,6 +252,7 @@ def build_bcsr_arrays(
         chunk_last=clast,
         n_rb=n_rb,
         n_cb=n_cb,
+        row_scale=row_scale,
     )
 
 
@@ -282,6 +313,8 @@ def build_bcsr(
         n_rb=a["n_rb"],
         n_cb=a["n_cb"],
         n_node=n_node,
+        row_scale=(None if a["row_scale"] is None
+                   else jnp.asarray(a["row_scale"])),
     )
 
 
@@ -347,7 +380,10 @@ def _bcsr_chunk_kernel(
     dma(ci).wait()
     slot = jax.lax.rem(ci, NBUF)
     lo = cstart_ref[ci]
-    precision = _precision_for(block_dtype)
+    # int8 slabs are converted to bf16 in VMEM (the MXU dot runs bf16; HBM
+    # streamed the 1-byte form) — same pattern as ops/pallas_dense.py
+    compute_dtype = jnp.bfloat16 if block_dtype == jnp.int8 else block_dtype
+    precision = _precision_for(compute_dtype)
 
     @pl.when(clen_ref[ci] > 0)  # chunks are full or empty (row-aligned build)
     def _():
@@ -361,8 +397,8 @@ def _bcsr_chunk_kernel(
             axis=0,
         )
         acc[...] += jnp.dot(
-            ablk[slot],
-            xc.astype(block_dtype),
+            ablk[slot].astype(compute_dtype),
+            xc.astype(compute_dtype),
             preferred_element_type=jnp.float32,
             precision=precision,
         )
@@ -443,15 +479,16 @@ def _bcsr_chunk_kernel_large(
 
     adma(ci).wait()
     slot = jax.lax.rem(ci, NBUF)
-    precision = _precision_for(block_dtype)
+    compute_dtype = jnp.bfloat16 if block_dtype == jnp.int8 else block_dtype
+    precision = _precision_for(compute_dtype)
 
     @pl.when(clen_ref[ci] > 0)
     def _():
         for j in range(CHUNK):
             xdma(ci, j).wait()
         acc[...] += jnp.dot(
-            ablk[slot],
-            xblk[slot].astype(block_dtype),
+            ablk[slot].astype(compute_dtype),
+            xblk[slot].astype(compute_dtype),
             preferred_element_type=jnp.float32,
             precision=precision,
         )
@@ -475,7 +512,8 @@ def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
     h_in = x.shape[1]
     n_pad = bcsr.n_cb * BLOCK
     block_dtype = bcsr.blocks.dtype
-    x_dtype = jnp.bfloat16 if block_dtype == jnp.bfloat16 else x.dtype
+    x_dtype = (jnp.bfloat16
+               if block_dtype in (jnp.bfloat16, jnp.int8) else x.dtype)
     large = n_pad * h_in * jnp.dtype(x_dtype).itemsize > _X_VMEM_LIMIT_BYTES
     # HBM->VMEM DMAs must be lane-tile aligned: the streaming (large) path
     # pads the feature dim to a multiple of 128
@@ -544,6 +582,8 @@ def bcsr_spmm(bcsr: BCSR, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
         grid_spec=grid_spec,
         interpret=interpret,
     )(*scalar_args, x_pad, bcsr.blocks)
+    if bcsr.row_scale is not None:  # int8: per-row dequant, XLA-fused
+        out = out * bcsr.row_scale[:, None]
     # trim by the layout's real row count, NOT x's: rectangular (sharded)
     # layouts have out rows != x rows
     return out[: bcsr.n_node, :h_in]
@@ -598,7 +638,8 @@ def coo_is_symmetric(row: np.ndarray, col: np.ndarray, w: np.ndarray) -> bool:
 
 def _bcsr_tree(b: BCSR):
     return (b.blocks, b.block_col, b.block_row_ptr, b.chunk_start,
-            b.chunk_len, b.chunk_row, b.chunk_first, b.chunk_last)
+            b.chunk_len, b.chunk_row, b.chunk_first, b.chunk_last,
+            b.row_scale)
 
 
 def _bcsr_untree(t, statics) -> BCSR:
@@ -606,7 +647,7 @@ def _bcsr_untree(t, statics) -> BCSR:
     return BCSR(blocks=t[0], block_col=t[1], block_row_ptr=t[2],
                 chunk_start=t[3], chunk_len=t[4], chunk_row=t[5],
                 chunk_first=t[6], chunk_last=t[7], n_rb=n_rb, n_cb=n_cb,
-                n_node=n_node)
+                n_node=n_node, row_scale=t[8])
 
 
 def _bcsr_statics(b: BCSR):
@@ -636,8 +677,9 @@ def _make_diff_bcsr_spmm(fwd_statics, bwd_statics, interpret: bool,
         fwd_t, bwd_t = res
         dx = bcsr_spmm(_bcsr_untree(bwd_t, bwd_statics), g, interpret=interpret)
         return (
-            tuple(_zero_cotangent(a) for a in fwd_t),  # adjacency is data
-            tuple(_zero_cotangent(a) for a in bwd_t),
+            # adjacency is data (None = absent row_scale of f32/bf16 layouts)
+            tuple(None if a is None else _zero_cotangent(a) for a in fwd_t),
+            tuple(None if a is None else _zero_cotangent(a) for a in bwd_t),
             dx.astype(x_dtype),  # cotangent dtype must match the primal x
         )
 

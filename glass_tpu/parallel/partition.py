@@ -42,37 +42,43 @@ class StackedBCSR:
     n_rb: int
     n_cb: int
     n_node: int  # real output rows of each local layout
+    # int8 layouts: per-shard per-row dequant scales (K, n_rb*BLOCK) f32
+    # (each shard quantizes per ITS rows, so per-shard dequant before the
+    # cross-shard psum is exact); None for f32/bf16
+    row_scale: Optional[np.ndarray] = None
+
+    @property
+    def n_ops(self) -> int:
+        """shard_map operand count (tree()/specs()/local() arity)."""
+        return 8 if self.row_scale is not None else 7
+
+    def _arrays(self):
+        base = (self.blocks, self.block_col, self.chunk_start, self.chunk_len,
+                self.chunk_row, self.chunk_first, self.chunk_last)
+        return base + ((self.row_scale,) if self.row_scale is not None else ())
 
     def tree(self):
         """Device operands for shard_map, leading dim K."""
         import jax.numpy as jnp
 
-        return tuple(
-            jnp.asarray(a) for a in (
-                self.blocks, self.block_col, self.chunk_start, self.chunk_len,
-                self.chunk_row, self.chunk_first, self.chunk_last,
-            )
-        )
+        return tuple(jnp.asarray(a) for a in self._arrays())
 
     def specs(self, axis: str):
         from jax.sharding import PartitionSpec as P
 
         return tuple(
-            P(axis, *([None] * (a.ndim - 1))) for a in (
-                self.blocks, self.block_col, self.chunk_start, self.chunk_len,
-                self.chunk_row, self.chunk_first, self.chunk_last,
-            )
+            P(axis, *([None] * (a.ndim - 1))) for a in self._arrays()
         )
 
     def local(self, t):
-        """Rebuilds this shard's BCSR inside shard_map from the 7 sliced
+        """Rebuilds this shard's BCSR inside shard_map from the sliced
         operands (each with a leading dim of 1). block_row_ptr is kernel
         metadata the sharded path never reads — a zero placeholder keeps the
         BCSR pytree structure uniform."""
         import jax.numpy as jnp
         from glass_tpu.ops.pallas_spmm import BCSR
 
-        blocks, bcol, cs, cl, cr, cf, cla = t
+        blocks, bcol, cs, cl, cr, cf, cla = t[:7]
         return BCSR(
             blocks=blocks.reshape(blocks.shape[1:]),
             block_col=bcol.reshape(-1),
@@ -85,6 +91,7 @@ class StackedBCSR:
             n_rb=self.n_rb,
             n_cb=self.n_cb,
             n_node=self.n_node,
+            row_scale=(t[7].reshape(-1) if len(t) > 7 else None),
         )
 
 
@@ -673,7 +680,10 @@ def _build_stacked_bcsr(row, col, w, shard_of, n_shards, nb, dense_dtype):
     (pad_row_blocks=1) as the target of cross-shard chunk padding."""
     from glass_tpu.ops.pallas_spmm import build_bcsr_arrays, pad_bcsr_arrays
 
-    bdtype = "float32" if dense_dtype == "f32" else "bfloat16"
+    # int8 is honored per shard (each rectangular layout carries per-row
+    # dequant scales; dequant happens inside each shard's kernel call, so
+    # the cross-shard psum composes exactly)
+    bdtype = {"f32": "float32", "int8": "int8"}.get(dense_dtype, "bfloat16")
     n_glob = n_shards * nb
     fwd, bwd = [], []
     for k in range(n_shards):
@@ -702,6 +712,8 @@ def _build_stacked_bcsr(row, col, w, shard_of, n_shards, nb, dense_dtype):
             n_rb=parts[0]["n_rb"],
             n_cb=parts[0]["n_cb"],
             n_node=n_node,
+            row_scale=(np.stack([p["row_scale"] for p in parts])
+                       if parts[0]["row_scale"] is not None else None),
         )
 
     return stack(fwd, nb), stack(bwd, n_glob)

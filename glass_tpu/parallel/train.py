@@ -172,11 +172,13 @@ class ShardedTrainer:
             i += 3
         graph = self.pg.local_graph(row, col, w, dense, "graph", *loc, *ring)
         if getattr(self, "has_bcsr", False):
+            # arity varies: int8 layouts carry a per-row-scale operand
+            nf, nt = self.pg.bcsr.n_ops, self.pg.bcsr_t.n_ops
             graph = graph.replace(
-                bcsr=self.pg.bcsr.local(gargs[i: i + 7]),
-                bcsr_t=self.pg.bcsr_t.local(gargs[i + 7: i + 14]),
+                bcsr=self.pg.bcsr.local(gargs[i: i + nf]),
+                bcsr_t=self.pg.bcsr_t.local(gargs[i + nf: i + nf + nt]),
             )
-            i += 14
+            i += nf + nt
         if getattr(self, "has_band", False):
             graph = graph.replace(
                 band=self.pg.band.local(gargs[i: i + 3]),

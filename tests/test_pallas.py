@@ -256,3 +256,63 @@ def test_spmm_modes_differential_fuzz(shape):
         grad = np.asarray(jax.grad(loss_of(g, mode))(x))
         np.testing.assert_allclose(grad, ref_grad, rtol=1e-4, atol=1e-3,
                                    err_msg=f"{shape}/{mode} grad")
+
+
+def test_bcsr_int8_blocks_match_f32(rng):
+    """int8 BCSR (per-row dequant scales in the layout): forward AND custom
+    VJP within quantization tolerance of the f32 dense path; the transposed
+    layout carries its own scales (asymmetric 'mean' normalization)."""
+    for aggr in ("gcn", "mean", "sum"):
+        ei = rand_graph(rng, 300, 1500)
+        g8 = build_graph(ei, None, 300, "gcn" if aggr == "gcn" else aggr,
+                         materialize_dense=False, materialize_bcsr=True,
+                         dense_dtype="int8", sparse_layout="bcsr")
+        assert g8.bcsr.blocks.dtype == jnp.int8
+        assert g8.bcsr.row_scale is not None
+        if aggr == "mean":
+            assert g8.bcsr_t is not g8.bcsr  # own scales per direction
+        gd = build_graph(ei, None, 300, aggr, materialize_dense=True)
+        x = jnp.asarray(rng.normal(size=(300, 32)).astype(np.float32))
+        ref = np.asarray(spmm(gd, x, "dense"))
+        out = np.asarray(spmm(g8, x, "pallas"))
+        scale = np.abs(ref).max()
+        assert np.abs(out - ref).max() / scale < 2e-2, aggr
+        d8 = jax.grad(lambda v: (spmm(g8, v, "pallas") ** 2).sum())(x)
+        dd = jax.grad(lambda v: (spmm(gd, v, "dense") ** 2).sum())(x)
+        rel = float(jnp.abs(d8 - dd).max() / jnp.abs(dd).max())
+        assert rel < 4e-2, aggr
+
+
+def test_bcsr_int8_empty_rows_and_padding(rng):
+    """Rows with no edges and CHUNK padding blocks must stay inert under
+    quantization (scale 1 on empty rows, zero blocks quantize to zero)."""
+    n = 3 * BLOCK
+    # only the middle block-row has edges
+    src = BLOCK + rng.integers(0, BLOCK, size=400)
+    dst = rng.integers(0, n, size=400)
+    ei = np.stack([src, dst])
+    g8 = build_graph(ei, None, n, "sum", materialize_dense=False,
+                     materialize_bcsr=True, dense_dtype="int8",
+                     sparse_layout="bcsr")
+    assert g8.bcsr.blocks.dtype == jnp.int8
+    gd = build_graph(ei, None, n, "sum", materialize_dense=True)
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    ref = np.asarray(spmm(gd, x, "dense"))
+    out = np.asarray(spmm(g8, x, "pallas"))
+    assert np.abs(out[:BLOCK]).max() == 0  # empty rows exactly zero
+    assert np.abs(out[2 * BLOCK:]).max() == 0
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_bcsr_int8_grad_bf16_primal(rng):
+    """bf16 activation stream through the int8 BCSR VJP: cotangent must come
+    back bf16 (mirrors the dense_q regression)."""
+    ei = rand_graph(rng, 300, 1500)
+    g8 = build_graph(ei, None, 300, "gcn", materialize_dense=False,
+                     materialize_bcsr=True, dense_dtype="int8",
+                     sparse_layout="bcsr")
+    xb = jnp.asarray(rng.normal(size=(300, 32)).astype(np.float32)).astype(
+        jnp.bfloat16)
+    d = jax.grad(lambda v: (spmm(g8, v, "pallas").astype(jnp.float32) ** 2)
+                 .sum())(xb)
+    assert d.dtype == jnp.bfloat16

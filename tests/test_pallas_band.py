@@ -567,3 +567,26 @@ def test_affine_negative_offset_top_edge(rng, stride):
     x = rng.normal(size=(n, 32)).astype(np.float32)
     out = np.asarray(band_spmm(band, jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_int8_residue(rng):
+    """dense_dtype='int8' on a hybrid split: the outlier BCSR goes int8
+    (per-row scales in the layout — the band+residue add composes), the
+    band part stays bf16, and forward/grad stay within quantization
+    tolerance of dense."""
+    ei, n = outlier_chain_graph(rng)
+    g = build_graph(ei, None, n, "gcn", materialize_dense=True,
+                    materialize_bcsr=True, sparse_layout="hybrid",
+                    dense_dtype="int8")
+    assert g.band is not None and g.bcsr is not None
+    assert g.bcsr.blocks.dtype == jnp.int8
+    assert g.bcsr.row_scale is not None
+    assert g.band.slabs.dtype == jnp.bfloat16
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    out = np.asarray(spmm(g, x, "pallas"))
+    ref = np.asarray(spmm(g, x, "dense"))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 2e-2
+    gp = jax.grad(lambda v: (spmm(g, v, "pallas") ** 2).sum())(x)
+    gd = jax.grad(lambda v: (spmm(g, v, "dense") ** 2).sum())(x)
+    assert float(jnp.abs(gp - gd).max() / jnp.abs(gd).max()) < 4e-2

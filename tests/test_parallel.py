@@ -1026,3 +1026,65 @@ def test_sharded_training_with_dropout_runs(rng):
         ap, ao, aplat, jax.random.PRNGKey(3),
         jnp.asarray(pos[None]), jnp.asarray(y[None]))
     assert np.isfinite(float(aloss))
+
+
+def test_sharded_int8_bcsr_matches_unsharded(rng):
+    """int8 StackedBCSR (dense_dtype='int8'): each shard's rectangular
+    layout carries its own per-row dequant scales as an 8th shard_map
+    operand; forward and backward stay within quantization tolerance of
+    the unsharded dense path."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ei, n = toy(rng)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    ref = np.asarray(spmm(g, jnp.asarray(x), "dense"))
+    ref_grad = np.asarray(jax.grad(
+        lambda v: (spmm(g, v, "dense") ** 2).sum()
+    )(jnp.asarray(x)))
+
+    K = 4
+    pg = partition_graph(ei, None, n, "mean", K, materialize_bcsr=True,
+                         sparse_layout="bcsr", dense_dtype="int8")
+    assert pg.bcsr.row_scale is not None
+    assert pg.bcsr.blocks.dtype == np.int8
+    assert pg.bcsr.n_ops == 8 and pg.bcsr_t.n_ops == 8
+    mesh = make_mesh(graph_shards=K, data_shards=2)
+    xp = pg.pad_nodes(x)
+
+    nf, nt = pg.bcsr.n_ops, pg.bcsr_t.n_ops
+
+    def local_graph(gargs):
+        graph = pg.local_graph(*gargs[:3], None, "graph", *gargs[3:6])
+        return graph.replace(
+            bcsr=pg.bcsr.local(gargs[6: 6 + nf]),
+            bcsr_t=pg.bcsr_t.local(gargs[6 + nf: 6 + nf + nt]))
+
+    def body(x_loc, *gargs):
+        return spmm(local_graph(gargs), x_loc, "pallas")
+
+    def grad_body(x_loc, *gargs):
+        graph = local_graph(gargs)
+        return jax.grad(lambda v: (spmm(graph, v, "pallas") ** 2).sum())(x_loc)
+
+    gargs = [jnp.asarray(pg.row), jnp.asarray(pg.col), jnp.asarray(pg.weight),
+             jnp.asarray(pg.loc_row), jnp.asarray(pg.loc_col),
+             jnp.asarray(pg.loc_weight)]
+    gspecs = [P("graph", None)] * 6
+    gargs += list(pg.bcsr.tree()) + list(pg.bcsr_t.tree())
+    gspecs += list(pg.bcsr.specs("graph")) + list(pg.bcsr_t.specs("graph"))
+
+    out = shard_map(
+        body, mesh=mesh, in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None), check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(out)[:n] - ref).max() / scale < 2e-2
+
+    gout = shard_map(
+        grad_body, mesh=mesh, in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None), check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    gscale = np.abs(ref_grad).max()
+    assert np.abs(np.asarray(gout)[:n] - ref_grad).max() / gscale < 4e-2
