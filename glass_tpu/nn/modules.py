@@ -37,17 +37,18 @@ ACTIVATIONS = {
 
 
 def _fused_norm_enabled(n_rows: int) -> bool:
-    """GLASS_TPU_FUSED_NORM: '1' force, '0' off, default 'auto' = on for
-    TPU runs over node-scale inputs (small pooled-batch norms and the CPU
-    test/parity paths keep the reference XLA formulation)."""
+    """GLASS_TPU_FUSED_NORM: '1' force, '0' off; default off.
+
+    The fused Pallas GraphNorm (ops/pallas_norm.py) is formula-exact and
+    minimizes HBM passes, but the same-day e2e A/B on the 9M-edge training
+    workload measured it 8% SLOWER than the XLA formulation (467.9 vs
+    433.3 steps/s, bench_logs/r4/fused_norm_e2e.log): XLA fuses the norm's
+    reductions into the surrounding backward chain better than five
+    separate pallas_call launches can recover. Kept as an opt-in for
+    shapes/compilers where the trade flips."""
     import os
 
-    v = os.environ.get("GLASS_TPU_FUSED_NORM", "auto")
-    if v == "1":
-        return True
-    if v == "0":
-        return False
-    return n_rows >= 4096 and jax.default_backend() == "tpu"
+    return os.environ.get("GLASS_TPU_FUSED_NORM", "0") == "1"
 
 
 class TorchLinear(nn.Module):
