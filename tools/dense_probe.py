@@ -50,10 +50,14 @@ def main():
           f"H={args.hidden}, backend {jax.default_backend()}", file=sys.stderr)
 
     def scan_time(g, iters):
+        # graph is a jit ARGUMENT: closing over it would inline the dense
+        # adjacency into the HLO as a literal constant (851 MB at f32) and
+        # the tunnel's remote-compile endpoint rejects it — HTTP 413
+        # (CLAUDE.md; observed building this probe)
         @jax.jit
-        def many(x0):
+        def many(g_, x0):
             def step(h, _):
-                o = spmm(g, h, "dense")
+                o = spmm(g_, h, "dense")
                 return (o / (jnp.abs(o).max() + 1.0)).astype(x0.dtype), None
 
             h, _ = jax.lax.scan(step, x0, None, length=iters)
@@ -61,7 +65,7 @@ def main():
 
         def timed():
             t0 = time.perf_counter()
-            float(jnp.ravel(many(x))[0])  # scalar readback — cannot lie
+            float(jnp.ravel(many(g, x))[0])  # scalar readback — cannot lie
             return time.perf_counter() - t0
 
         timed()  # compile + warm
