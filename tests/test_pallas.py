@@ -316,3 +316,20 @@ def test_bcsr_int8_grad_bf16_primal(rng):
     d = jax.grad(lambda v: (spmm(g8, v, "pallas").astype(jnp.float32) ** 2)
                  .sum())(xb)
     assert d.dtype == jnp.bfloat16
+
+
+def test_protocol_with_int8_bcsr_trains():
+    """--dense_dtype int8 + --sparse_layout bcsr trains end to end through
+    the full protocol (the per-row-scale dequant rides the custom VJP in
+    the whole-epoch scan)."""
+    from glass_tpu.train.protocol import ExperimentConfig, run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="density", pool="size", aggr="sum", hidden_dim=8,
+        conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=25,
+        resi=0.9, feature="one", use_maxzeroone=True, repeat=1,
+        max_epochs=2, spmm_mode="pallas", sparse_layout="bcsr",
+        dense_dtype="int8",
+    )
+    scores, mean, err = run_experiment(cfg, log=lambda *_: None)
+    assert 0.0 <= mean <= 1.0
