@@ -177,6 +177,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--datasets", nargs="+", default=list(CONFIGS))
     ap.add_argument("--repeat", type=int, default=10)
+    ap.add_argument("--rep_start", type=int, default=0,
+                    help="first repeat index; seeds stay (1<<r)-1, pairing "
+                    "with the CLI's --use_seed runs on extended seed sets")
     ap.add_argument("--out", type=str, default="BASELINE_measured.json")
     args = ap.parse_args()
 
@@ -184,7 +187,7 @@ def main():
     for name in args.datasets:
         cfg = CONFIGS[name]
         scores = []
-        for r in range(args.repeat):
+        for r in range(args.rep_start, args.rep_start + args.repeat):
             seed = (1 << r) - 1
             print(f"== {name} repeat {r} (seed {seed})", flush=True)
             scores.append(run_one(name, cfg, seed))
