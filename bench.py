@@ -254,6 +254,8 @@ def bench_e2e_training(ei, n, hidden=64, layers=1, batch=6, sub_size=32,
     from glass_tpu.train.loop import Trainer, TrainConfig
 
     rng = np.random.default_rng(0)
+    # the adjacency dtype follows the activation stream: a bf16 model over
+    # f32 slabs paid ~0.3 ms/step of pure extra slab bytes (round 4)
     graph = build_graph(ei, None, n, "gcn", materialize_dense=dense,
                         materialize_bcsr=not dense, dense_dtype=dense_dtype)
     x = jnp.asarray(rng.integers(0, 16, size=(n, 1)).astype(np.int32))
@@ -365,8 +367,9 @@ def main():
     ours, per_dtype, ei_big, n_big = bench_bcsr_large()
     theirs = bench_torch_reference(ei_big, n_big, iters=3)
 
-    # end-to-end training leg on the same 9M-edge graph (VERDICT r2 item 7a)
-    e2e_sps, e2e_eps = bench_e2e_training(ei_big, n_big)
+    # end-to-end training leg on the same 9M-edge graph (VERDICT r2 item 7a);
+    # bf16 slabs match the leg's bf16 activation stream
+    e2e_sps, e2e_eps = bench_e2e_training(ei_big, n_big, dense_dtype="bf16")
 
     # hpo-scale dense-MXU regime: the layout the planner routes the real
     # datasets to (VERDICT r3 item 5 — both regimes must be driver-tracked)
