@@ -194,7 +194,9 @@ class GLASSConv(nn.Module):
     dtype: Optional[str] = None  # "bfloat16" = mixed-precision activations
 
     @nn.compact
-    def __call__(self, graph: Graph, x_, mask, *, training: bool = False):
+    def __call__(self, graph: Graph, x_, mask, training: bool = False):
+        # NOTE: ``training`` is positional (not keyword-only) so nn.remat can
+        # mark it static by argnum — see EmbZGConv's GLASS_TPU_REMAT path
         act = ACTIVATIONS[self.activation]
         zr = self.z_ratio
         # the two label-branch Linears share their input; XLA's dot-merger
@@ -263,11 +265,20 @@ class EmbZGConv(nn.Module):
         h = HWDropout(self.dropout)(h, deterministic=not training)
 
         conv_dropout = self.dropout if self.conv_dropout is None else self.conv_dropout
+        # GLASS_TPU_REMAT=1: rematerialize each conv body in the backward
+        # pass instead of saving its intermediates — trades (cheap, MXU)
+        # recompute for HBM reads of ~6 saved (N,H) activations per layer.
+        # Opt-in pending a same-day e2e A/B (like GLASS_TPU_FUSED_NORM).
+        import os
+
+        conv_cls = GLASSConv
+        if os.environ.get("GLASS_TPU_REMAT", "0") == "1":
+            conv_cls = nn.remat(GLASSConv, static_argnums=(4,))
         xs = []
         for layer in range(self.num_layers):
             last = layer == self.num_layers - 1
             out_ch = self.output_channels if last else self.hidden_channels
-            h = GLASSConv(
+            h = conv_cls(
                 out_channels=out_ch,
                 z_ratio=self.z_ratio,
                 dropout=conv_dropout,
@@ -275,7 +286,7 @@ class EmbZGConv(nn.Module):
                 spmm_mode=self.spmm_mode,
                 dtype=self.dtype,
                 name=f"conv_{layer}",
-            )(graph, h, mask, training=training)
+            )(graph, h, mask, training)
             xs.append(h)
             if not last:
                 if self.gn:
