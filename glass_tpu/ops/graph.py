@@ -407,16 +407,17 @@ def build_graph(
                 return None
 
             aff = _maybe_affine(r_, c_, w_, rps)
-            bdt = "int8" if (want_int8 and aff is not None) else bdtype
+            # int8 is layout-independent since round 4 (affine kernels
+            # dequant in-VMEM; per-group kernels dequant the output rows)
+            bdt = "int8" if want_int8 else bdtype
             band = pallas_band.build_band(r_, c_, w_, n_node, rps,
                                           dtype=bdt, affine=aff)
             if symmetric:
                 band_t = band
             else:
                 aff_t = _maybe_affine(c_, r_, w_, rps_t)
-                bdt_t = "int8" if (want_int8 and aff_t is not None) else bdtype
                 band_t = pallas_band.build_band(
-                    c_, r_, w_, n_node, rps_t, dtype=bdt_t, affine=aff_t
+                    c_, r_, w_, n_node, rps_t, dtype=bdt, affine=aff_t
                 )
         elif kind == "hybrid":
             # split A = A_band + A_outlier; the split is symmetrized (an edge
@@ -431,17 +432,17 @@ def build_graph(
             sym = in_band.copy()
             sym[o1] &= in_band[o2]  # (r,c) mirrored at same rank (pat_sym)
             out = (w_np != 0) & ~sym
+            # both hybrid parts honor int8 since round 4 (per-group band
+            # kernels dequant the output rows; the add composes)
+            hyb_dt = "int8" if want_int8 else bdtype
             band = pallas_band.build_band(
-                r_np[sym], c_np[sym], w_np[sym], n_node, rps, dtype=bdtype,
+                r_np[sym], c_np[sym], w_np[sym], n_node, rps, dtype=hyb_dt,
                 window=(wb, clo),
             )
             band_t = band if symmetric else pallas_band.build_band(
-                c_np[sym], r_np[sym], w_np[sym], n_node, rps, dtype=bdtype,
+                c_np[sym], r_np[sym], w_np[sym], n_node, rps, dtype=hyb_dt,
                 window=(wb, clo),
             )
-            # the residue BCSR honors int8 (per-row scales live in the
-            # layout, so the band+residue add composes); the band part
-            # stays bf16 — hybrid windows are per-group, not affine
             res_dt = "int8" if want_int8 else bdtype
             bcsr = build_bcsr(r_np[out], c_np[out], w_np[out], n_node,
                               dtype=res_dt)

@@ -403,11 +403,10 @@ def build_band(row, col, weight, n_node: int, rps: int = 8, dtype="float32",
         a_stride, a_off, w_aff = affine
         n_rb = -(-n_node // BLOCK)
         window = (w_aff, affine_clo(-(-n_rb // rps), a_stride, a_off))
-    if dtype == "int8" and a_stride is None:
-        raise ValueError(
-            "int8 slabs are supported only for affine (block-DIA) layouts — "
-            "pass affine=affine_fit(...) or use dtype='bfloat16'"
-        )
+    # int8 works for every layout: the affine kernel streams the scales as
+    # a second DMA and dequantizes in-VMEM; the per-group kernels convert
+    # int8->bf16 at the dot and band_spmm dequantizes the output rows in
+    # one XLA-fused multiply (round 4 — previously affine-only)
     a = build_band_arrays(row, col, weight, n_node, rps, dtype, window=window,
                           n_col=n_col, trim_groups=trim_groups)
     return BandedAdj(
@@ -459,11 +458,12 @@ def _band_kernel(
         xdma(i + 1).start()
 
     xdma(i).wait()
+    cdt = jnp.bfloat16 if block_dtype == jnp.int8 else block_dtype
     out_ref[...] = jnp.dot(
-        slab_ref[...],
-        xwin[jax.lax.rem(i, NBUF)].astype(block_dtype),
+        slab_ref[...].astype(cdt),
+        xwin[jax.lax.rem(i, NBUF)].astype(cdt),
         preferred_element_type=jnp.float32,
-        precision=_precision_for(block_dtype),
+        precision=_precision_for(cdt),
     )
 
 
@@ -492,15 +492,16 @@ def _band_kernel_xvmem(
         xdma.start()
         xdma.wait()
 
+    cdt = jnp.bfloat16 if block_dtype == jnp.int8 else block_dtype
     out_ref[...] = jnp.dot(
-        slab_ref[...],
-        # cast to the slab dtype in-registers (Mosaic rejects mixed-dtype
+        slab_ref[...].astype(cdt),
+        # cast to the compute dtype in-registers (Mosaic rejects mixed-dtype
         # dots); x stays bf16 in VMEM when the activation stream is bf16
         xfull[
             pl.ds(pl.multiple_of(clo_ref[i] * BLOCK, BLOCK), wb * BLOCK), :
-        ].astype(block_dtype),
+        ].astype(cdt),
         preferred_element_type=jnp.float32,
-        precision=_precision_for(block_dtype),
+        precision=_precision_for(cdt),
     )
 
 
@@ -533,15 +534,16 @@ def _band_kernel_xvmem_gps(
         xdma.start()
         xdma.wait()
 
+    cdt = jnp.bfloat16 if block_dtype == jnp.int8 else block_dtype
     for j in range(gps):
         g = i * gps + j
         out_ref[j * rps * BLOCK:(j + 1) * rps * BLOCK, :] = jnp.dot(
-            slab_ref[j],
+            slab_ref[j].astype(cdt),
             xfull[
                 pl.ds(pl.multiple_of(clo_ref[g] * BLOCK, BLOCK), wb * BLOCK), :
-            ].astype(block_dtype),
+            ].astype(cdt),
             preferred_element_type=jnp.float32,
-            precision=_precision_for(block_dtype),
+            precision=_precision_for(cdt),
         )
 
 
@@ -607,13 +609,14 @@ def _band_kernel_gps(
             xdma(i + 1, j).start()
 
     slot = jax.lax.rem(i, NBUF)
+    cdt = jnp.bfloat16 if block_dtype == jnp.int8 else block_dtype
     for j in range(gps):
         xdma(i, j).wait()
         out_ref[j * rps * BLOCK:(j + 1) * rps * BLOCK, :] = jnp.dot(
-            slab_ref[j],
-            xwin[slot, j].astype(block_dtype),
+            slab_ref[j].astype(cdt),
+            xwin[slot, j].astype(cdt),
             preferred_element_type=jnp.float32,
-            precision=_precision_for(block_dtype),
+            precision=_precision_for(cdt),
         )
 
 
@@ -808,11 +811,12 @@ def _band_kernel_striped(
         sdma(i, s).wait()
     xdma(i).wait()
     slot = jax.lax.rem(i, NBUF)
+    cdt = jnp.bfloat16 if block_dtype == jnp.int8 else block_dtype
     out_ref[...] = jnp.dot(
-        sblk[slot],
-        xwin[slot].astype(block_dtype),
+        sblk[slot].astype(cdt),
+        xwin[slot].astype(cdt),
         preferred_element_type=jnp.float32,
-        precision=_precision_for(block_dtype),
+        precision=_precision_for(cdt),
     )
 
 
@@ -828,11 +832,8 @@ def band_spmm(
     DMA channels (see _band_kernel_striped)."""
     h_in = x.shape[1]
     block_dtype = band.slabs.dtype
-    if block_dtype == jnp.int8 and (
-            band.affine_stride is None or band.g_lo is not None):
-        raise ValueError("int8 slabs are supported only by the affine "
-                         "(block-DIA) kernel")
-    x_dtype = jnp.bfloat16 if block_dtype == jnp.bfloat16 else x.dtype
+    x_dtype = (jnp.bfloat16
+               if block_dtype in (jnp.bfloat16, jnp.int8) else x.dtype)
     wb = band.w_blocks
     rps = band.rps
     n_g = band.n_groups
@@ -985,6 +986,11 @@ def band_spmm(
         grid_spec=grid_spec,
         interpret=interpret,
     )(band.clo, x_pad, band.slabs)
+    if band.row_scale is not None:
+        # per-group int8 layouts dequantize OUTSIDE the kernel (one XLA-fused
+        # per-row multiply over the stored groups' rows); the affine kernel
+        # applies its scales in-VMEM and returned above
+        out = out * band.row_scale[:, :, 0].reshape(-1, 1).astype(jnp.float32)
     if band.g_lo is not None:
         # row-range-trimmed layout: scatter the stored groups' rows back into
         # the full output (g_lo is traced — one program serves every shard)

@@ -457,20 +457,29 @@ def test_int8_affine_band_matches_f32():
     assert float(jnp.abs(d8 - d32).max() / jnp.abs(d32).max()) < 3e-2
 
 
-def test_int8_requires_affine_layout():
-    from glass_tpu.ops.pallas_band import build_band
+def test_int8_per_group_layout_builds(rng):
+    """int8 no longer requires the affine law (round 4): a per-group window
+    layout quantizes with per-row scales and matches dense."""
+    from glass_tpu.ops.pallas_band import band_spmm, build_band
 
-    r = np.arange(1, 4 * BLOCK)
+    n = 4 * BLOCK
+    r = np.arange(1, n)
     c = r - 1
-    w = np.ones(r.size, np.float32)
-    with pytest.raises(ValueError, match="affine"):
-        build_band(r, c, w, 4 * BLOCK, rps=1, dtype="int8")
+    w = rng.random(r.size).astype(np.float32) + 0.5
+    band = build_band(r, c, w, n, rps=1, dtype="int8")
+    assert band.slabs.dtype == jnp.int8 and band.row_scale is not None
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    dense = np.zeros((n, n), np.float32)
+    dense[r, c] = w
+    out = np.asarray(band_spmm(band, x, interpret=True))
+    ref = dense @ np.asarray(x)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-2
 
 
 # ---- affine-fit property tests off the happy path (real RCM profiles are
 # not perfectly linear; the gate in ops/graph.py::_maybe_affine must reject
-# inflating fits, keep the per-group result exact, and degrade int8 -> bf16
-# without error)
+# inflating fits and keep the per-group result exact — int8 now serves the
+# per-group kernels too)
 
 
 def _piecewise_directed(rng, n):
@@ -507,22 +516,28 @@ def test_affine_gate_rejects_piecewise_profile(rng):
                                rtol=1e-3, atol=1e-3)
 
 
-def test_affine_gate_reject_drops_int8_to_bf16(rng):
-    """dense_dtype='int8' on a gate-rejected profile must not error: int8
-    exists only for affine layouts, so the band quietly builds bf16 slabs
-    and the SpMM stays within bf16 tolerance of dense."""
+def test_affine_gate_reject_keeps_int8_per_group(rng):
+    """dense_dtype='int8' on a gate-rejected profile: since round 4 int8
+    serves the PER-GROUP window kernels too (output-row dequant outside the
+    kernel), so the rejected affine fit degrades to int8 per-group slabs —
+    not to bf16 — and stays within quantization tolerance of dense, forward
+    and gradient."""
     n = 16 * BLOCK
     ei = _piecewise_directed(rng, n)
     g8 = build_graph(ei, None, n, "sum", materialize_dense=False,
                      materialize_bcsr=True, sparse_layout="band",
                      dense_dtype="int8")
-    assert g8.band.affine_stride is None
-    assert g8.band.slabs.dtype == jnp.bfloat16  # fallback, not int8
+    assert g8.band.affine_stride is None  # the gate still rejects the fit
+    assert g8.band.slabs.dtype == jnp.int8
+    assert g8.band.row_scale is not None
     gd = build_graph(ei, None, n, "sum", materialize_dense=True)
     x = jnp.asarray(rng.random((n, 32)).astype(np.float32))
-    np.testing.assert_allclose(
-        np.asarray(spmm(g8, x, "band")),
-        np.asarray(spmm(gd, x, "dense")), rtol=0.05, atol=0.05)
+    out = np.asarray(spmm(g8, x, "band"))
+    ref = np.asarray(spmm(gd, x, "dense"))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-2
+    g8g = jax.grad(lambda v: (spmm(g8, v, "band") ** 2).sum())(x)
+    gdg = jax.grad(lambda v: (spmm(gd, v, "dense") ** 2).sum())(x)
+    assert float(jnp.abs(g8g - gdg).max() / jnp.abs(gdg).max()) < 4e-2
 
 
 def test_affine_gate_accepts_small_inflation(rng):
@@ -570,10 +585,9 @@ def test_affine_negative_offset_top_edge(rng, stride):
 
 
 def test_hybrid_int8_residue(rng):
-    """dense_dtype='int8' on a hybrid split: the outlier BCSR goes int8
-    (per-row scales in the layout — the band+residue add composes), the
-    band part stays bf16, and forward/grad stay within quantization
-    tolerance of dense."""
+    """dense_dtype='int8' on a hybrid split: BOTH parts go int8 (per-row
+    scales in each layout — the band+residue add composes), and
+    forward/grad stay within quantization tolerance of dense."""
     ei, n = outlier_chain_graph(rng)
     g = build_graph(ei, None, n, "gcn", materialize_dense=True,
                     materialize_bcsr=True, sparse_layout="hybrid",
@@ -581,7 +595,8 @@ def test_hybrid_int8_residue(rng):
     assert g.band is not None and g.bcsr is not None
     assert g.bcsr.blocks.dtype == jnp.int8
     assert g.bcsr.row_scale is not None
-    assert g.band.slabs.dtype == jnp.bfloat16
+    assert g.band.slabs.dtype == jnp.int8
+    assert g.band.row_scale is not None
     x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
     out = np.asarray(spmm(g, x, "pallas"))
     ref = np.asarray(spmm(g, x, "dense"))
@@ -590,3 +605,46 @@ def test_hybrid_int8_residue(rng):
     gp = jax.grad(lambda v: (spmm(g, v, "pallas") ** 2).sum())(x)
     gd = jax.grad(lambda v: (spmm(g, v, "dense") ** 2).sum())(x)
     assert float(jnp.abs(gp - gd).max() / jnp.abs(gd).max()) < 4e-2
+
+
+def test_int8_per_group_band_all_variants(rng):
+    """int8 per-group band slabs across the kernel variants the dispatcher
+    can pick (whole-x-VMEM and streamed; single- and multi-group): forward
+    and custom-VJP gradient within quantization tolerance of dense."""
+    import glass_tpu.ops.pallas_band as pb
+
+    n = 8 * BLOCK
+    r = np.arange(n)
+    src = np.repeat(r, 6)
+    dst = np.clip(src + rng.integers(-100, 100, size=src.size), 0, n - 1)
+    ei = np.stack([src, dst])
+    gd = build_graph(ei, None, n, "sum", materialize_dense=True)
+    x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    ref = np.asarray(spmm(gd, x, "dense"))
+    refg = np.asarray(jax.grad(
+        lambda v: (spmm(gd, v, "dense") ** 2).sum())(x))
+
+    g = build_graph(ei, None, n, "sum", materialize_dense=False,
+                    materialize_bcsr=True, sparse_layout="band",
+                    dense_dtype="int8")
+    band = g.band
+    if band.affine_stride is not None:
+        # force the per-group path too (this test targets those kernels)
+        band = pb.build_band(np.asarray(g.row)[: g.n_edge],
+                             np.asarray(g.col)[: g.n_edge],
+                             np.asarray(g.weight)[: g.n_edge], n,
+                             rps=band.rps, dtype="int8")
+    assert band.slabs.dtype == jnp.int8 and band.affine_stride is None
+
+    # whole-x path (fits VMEM at this size)
+    out = np.asarray(pb.band_spmm(band, x, interpret=True))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-2
+
+    # streamed path: monkeypatch-free forcing via a tiny VMEM budget is
+    # covered elsewhere; here exercise the striped variant explicitly
+    out_s = np.asarray(pb.band_spmm(band, x, interpret=True, stripes=2))
+    assert np.abs(out_s - ref).max() / np.abs(ref).max() < 2e-2
+
+    # custom VJP through the graph-level dispatch
+    gg = jax.grad(lambda v: (spmm(g, v, "band") ** 2).sum())(x)
+    assert float(jnp.abs(gg - refg).max() / np.abs(refg).max()) < 4e-2
