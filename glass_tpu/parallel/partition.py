@@ -115,23 +115,37 @@ class StackedBand:
     w_blocks: int
     n_g_total: int
     trimmed: bool  # whether local layouts carry the traced g_lo offset
+    # int8 layouts: per-shard per-output-row dequant scales
+    # (K, n_g, rps*BLOCK, BLOCK); None for f32/bf16 — see StackedBCSR
+    row_scale: Optional[np.ndarray] = None
+
+    @property
+    def n_ops(self) -> int:
+        """shard_map operand count (tree()/specs()/local() arity)."""
+        return 4 if self.row_scale is not None else 3
+
+    def _arrays(self):
+        base = (self.slabs, self.clo, self.g_lo)
+        return base + ((self.row_scale,) if self.row_scale is not None else ())
 
     def tree(self):
         import jax.numpy as jnp
 
-        return tuple(jnp.asarray(a) for a in (self.slabs, self.clo, self.g_lo))
+        return tuple(jnp.asarray(a) for a in self._arrays())
 
     def specs(self, axis: str):
         from jax.sharding import PartitionSpec as P
 
-        return (P(axis, None, None, None), P(axis, None), P(axis))
+        return tuple(
+            P(axis, *([None] * (a.ndim - 1))) for a in self._arrays()
+        )
 
     def local(self, t):
-        """Rebuilds this shard's BandedAdj inside shard_map from the 3 sliced
+        """Rebuilds this shard's BandedAdj inside shard_map from the sliced
         operands (each with a leading dim of 1)."""
         from glass_tpu.ops.pallas_band import BandedAdj
 
-        slabs, clo, g_lo = t
+        slabs, clo, g_lo = t[:3]
         return BandedAdj(
             slabs=slabs.reshape(slabs.shape[1:]),
             clo=clo.reshape(-1),
@@ -142,6 +156,7 @@ class StackedBand:
             w_blocks=self.w_blocks,
             g_lo=g_lo.reshape(()) if self.trimmed else None,
             n_g_total=self.n_g_total,
+            row_scale=(t[3].reshape(t[3].shape[1:]) if len(t) > 3 else None),
         )
 
 
@@ -559,7 +574,7 @@ def _build_stacked_band(shards, n_shards, nb, dense_dtype, rps, w_fwd, w_bwd):
     a common stored-group count. ``shards`` comes from _shard_split."""
     from glass_tpu.ops import pallas_band
 
-    bdtype = "float32" if dense_dtype == "f32" else "bfloat16"
+    bdtype = {"f32": "float32", "int8": "int8"}.get(dense_dtype, "bfloat16")
     n_glob = n_shards * nb
     n_rb_loc = -(-nb // BLOCK)
     n_cb_glob = -(-n_glob // BLOCK)
@@ -607,6 +622,8 @@ def _stack_band_parts(parts, n_rb, n_cb, n_node, rps, wb, n_g_total, trimmed):
         g_lo=np.asarray([p["g_lo"] for p in parts], dtype=np.int32),
         n_rb=n_rb, n_cb=n_cb, n_node=n_node, rps=rps, w_blocks=wb,
         n_g_total=n_g_total, trimmed=trimmed,
+        row_scale=(np.stack([p["row_scale"] for p in parts])
+                   if parts and parts[0]["row_scale"] is not None else None),
     )
 
 
@@ -618,7 +635,7 @@ def _build_stacked_hybrid(shards, n_shards, nb, dense_dtype, rps, w_f, w_t):
     chunked BCSR over the residue. Returns (band, band_t, bcsr, bcsr_t)."""
     from glass_tpu.ops import pallas_band
 
-    bdtype = "float32" if dense_dtype == "f32" else "bfloat16"
+    bdtype = {"f32": "float32", "int8": "int8"}.get(dense_dtype, "bfloat16")
     n_glob = n_shards * nb
     n_rb_loc = -(-nb // BLOCK)
     n_cb_glob = -(-n_glob // BLOCK)

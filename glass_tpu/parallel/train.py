@@ -180,9 +180,10 @@ class ShardedTrainer:
             )
             i += nf + nt
         if getattr(self, "has_band", False):
+            nf, nt = self.pg.band.n_ops, self.pg.band_t.n_ops
             graph = graph.replace(
-                band=self.pg.band.local(gargs[i: i + 3]),
-                band_t=self.pg.band_t.local(gargs[i + 3: i + 6]),
+                band=self.pg.band.local(gargs[i: i + nf]),
+                band_t=self.pg.band_t.local(gargs[i + nf: i + nf + nt]),
             )
         return graph
 

@@ -1088,3 +1088,64 @@ def test_sharded_int8_bcsr_matches_unsharded(rng):
     )(jnp.asarray(xp), *gargs)
     gscale = np.abs(ref_grad).max()
     assert np.abs(np.asarray(gout)[:n] - ref_grad).max() / gscale < 4e-2
+
+
+def test_sharded_int8_band_matches_unsharded(rng):
+    """int8 StackedBand: per-shard per-output-row scales ride shard_map as a
+    4th stacked operand (forward rectangular AND trimmed transposed
+    layouts); forward and backward stay within quantization tolerance of
+    the unsharded dense path."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ei, n = banded_toy(rng, n=5000, e=15000, bw=40)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    g = build_graph(ei, None, n, "mean", materialize_dense=True)
+    ref = np.asarray(spmm(g, jnp.asarray(x), "dense"))
+    ref_grad = np.asarray(jax.grad(
+        lambda v: (spmm(g, v, "dense") ** 2).sum()
+    )(jnp.asarray(x)))
+
+    K = 4
+    pg = partition_graph(ei, None, n, "mean", K, materialize_bcsr=True,
+                         sparse_layout="band", dense_dtype="int8")
+    assert pg.band.row_scale is not None
+    assert pg.band.slabs.dtype == np.int8
+    assert pg.band.n_ops == 4 and pg.band_t.n_ops == 4
+    mesh = make_mesh(graph_shards=K, data_shards=2)
+    xp = pg.pad_nodes(x)
+    nf, nt = pg.band.n_ops, pg.band_t.n_ops
+
+    def local_graph(gargs):
+        graph = pg.local_graph(*gargs[:3], None, "graph", *gargs[3:6])
+        return graph.replace(
+            band=pg.band.local(gargs[6: 6 + nf]),
+            band_t=pg.band_t.local(gargs[6 + nf: 6 + nf + nt]))
+
+    def body(x_loc, *gargs):
+        return spmm(local_graph(gargs), x_loc, "pallas")
+
+    def grad_body(x_loc, *gargs):
+        graph = local_graph(gargs)
+        return jax.grad(lambda v: (spmm(graph, v, "pallas") ** 2).sum())(x_loc)
+
+    gargs = [jnp.asarray(pg.row), jnp.asarray(pg.col), jnp.asarray(pg.weight),
+             jnp.asarray(pg.loc_row), jnp.asarray(pg.loc_col),
+             jnp.asarray(pg.loc_weight)]
+    gspecs = [P("graph", None)] * 6
+    gargs += list(pg.band.tree()) + list(pg.band_t.tree())
+    gspecs += list(pg.band.specs("graph")) + list(pg.band_t.specs("graph"))
+
+    out = shard_map(
+        body, mesh=mesh, in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None), check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(out)[:n] - ref).max() / scale < 2e-2
+
+    gout = shard_map(
+        grad_body, mesh=mesh, in_specs=(P("graph", None), *gspecs),
+        out_specs=P("graph", None), check_vma=False,
+    )(jnp.asarray(xp), *gargs)
+    gscale = np.abs(ref_grad).max()
+    assert np.abs(np.asarray(gout)[:n] - ref_grad).max() / gscale < 4e-2
