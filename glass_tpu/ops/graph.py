@@ -612,10 +612,12 @@ def _plan_block_sparse(
     keep = np.asarray(w) != 0
     r_, c_ = row[keep], col[keep]
     itemsize = 4 if dense_dtype == "f32" else 2
-    # int8 is honored unconditionally by the BCSR layout (per-row scales);
-    # band slabs only go int8 when the affine fit later accepts, so their
-    # cost keeps the conservative bf16 byte count
+    # int8 is honored unconditionally by every block-sparse layout since
+    # round 4 (per-row dequant scales); stream costs use 1 byte/entry while
+    # the VMEM gates keep the conservative bf16 figure (x windows and
+    # scales still occupy bf16-class VMEM next to the int8 slabs)
     itemsize_bcsr = 1 if dense_dtype == "int8" else itemsize
+    itemsize_stream = 1 if dense_dtype == "int8" else itemsize
     h_pad = 128  # the common GLASS hidden sizes (<=128) pad to one lane tile
     if r_.size == 0:
         return _ret("bcsr", None, None)
@@ -638,7 +640,7 @@ def _plan_block_sparse(
         wb, _, nbytes, n_g = pallas_band.band_stats(r_, c_, ones, n_node, rps)
         if not pallas_band.band_vmem_ok(rps, wb, h_pad, itemsize):
             continue
-        cost = n_g * band_step_s + nbytes * (itemsize / 4) / stream_bps
+        cost = n_g * band_step_s + nbytes * (itemsize_stream / 4) / stream_bps
         band_candidates.append((cost, rps, wb))
         if cost < best_cost:
             best, best_cost = ("band", rps, None), cost
@@ -691,8 +693,8 @@ def _plan_block_sparse(
                     continue  # band no longer carries the bulk: not a hybrid
                 cost = (
                     n_g * band_step_s
-                    + n_g * rps * BCSR_BLOCK * wb * BCSR_BLOCK * itemsize
-                    / stream_bps
+                    + n_g * rps * BCSR_BLOCK * wb * BCSR_BLOCK
+                    * itemsize_stream / stream_bps
                     + out_frac * bcsr_cost
                 )
                 if hybrid_best is None or cost < hybrid_best[0]:
@@ -706,9 +708,10 @@ def _plan_block_sparse(
         n_g_h = -(-(-(-n_node // BCSR_BLOCK)) // rps_h)
         exact = (
             n_g_h * band_step_s
-            + n_g_h * rps_h * BCSR_BLOCK * wb_h * BCSR_BLOCK * itemsize
+            + n_g_h * rps_h * BCSR_BLOCK * wb_h * BCSR_BLOCK * itemsize_stream
             / stream_bps
-            + _bcsr_cost_model(r_[~in_band], c_[~in_band], n_node, itemsize)
+            + _bcsr_cost_model(r_[~in_band], c_[~in_band], n_node,
+                               itemsize_bcsr)
         )
         hybrid_best = (exact, rps_h, wb_h)
     costs = {"bcsr": bcsr_cost}
