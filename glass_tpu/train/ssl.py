@@ -198,16 +198,17 @@ def run_hpo(
     storage: Optional[str] = None,
     sampler: str = "tpe",
 ):
-    """Optuna study when available (with resumable sqlite storage, mirroring
-    GNNEmb.py:194-199), otherwise the in-repo sampler over the same space:
-    ``sampler="tpe"`` (default — the same algorithm family as optuna's
-    default sampler, train/tpe.py) or ``sampler="random"``. Both persist a
-    resumable JSON study file when ``storage`` is set.
+    """One optuna-API study path in every deployment (resumable sqlite
+    storage, the contract of GNNEmb.py:194-199): the real optuna package
+    when installed, else the in-repo sqlite shim (compat/optuna_lite.py)
+    whose samplers draw each parameter as a pure function of (seed, trial
+    number, name, history) — resume-deterministic by construction.
 
-    ``sampler="random"`` always uses the in-repo seeded search even when
-    optuna is installed — an explicit random request must behave identically
-    in every deployment (and a resumed study must never switch samplers with
-    the environment)."""
+    ``n_trials`` is the TOTAL study budget: restored trials count against
+    it and are never re-trained. ``sampler="random"`` always uses the
+    in-repo shim even when optuna is installed — an explicit random request
+    must behave identically in every deployment (and a resumed study must
+    never switch samplers with the environment)."""
     if sampler not in ("tpe", "random"):
         raise ValueError(f"unknown sampler {sampler!r} (tpe | random)")
     best = {"score": -np.inf}
@@ -220,77 +221,44 @@ def run_hpo(
             save_fn(emb)
         return score
 
-    try:
-        if sampler == "random":
-            raise ImportError("in-repo random sampler explicitly requested")
-        import optuna
+    sampler_obj = None  # backend default (real optuna: its own TPE)
+    use_shim = sampler == "random"
+    if not use_shim:
+        try:
+            import optuna as backend
 
-        def obj(trial):
-            params = search_space(
-                lambda name, choices: trial.suggest_categorical(name, choices)
-            )
-            return objective_with(params)
+            sampler_obj = backend.samplers.TPESampler(seed=0)
+        except ImportError:
+            use_shim = True
+    if use_shim:
+        from glass_tpu.compat import optuna_lite as backend
 
-        study = optuna.create_study(
-            direction="maximize",
-            storage=storage,
-            study_name=cfg.dataset,
-            load_if_exists=storage is not None,
+        sampler_obj = (backend.LiteTPESampler(seed=0) if sampler == "tpe"
+                       else backend.LiteRandomSampler(seed=0))
+
+    def obj(trial):
+        params = search_space(
+            lambda name, choices: trial.suggest_categorical(name, choices)
         )
-        study.optimize(obj, n_trials=n_trials)
-        log(f"best params {study.best_params}")
-        log(f"best valf1 {study.best_value}")
-    except ImportError:
-        # In-repo sampler with a resumable JSON study file, mirroring the
-        # optuna sqlite load_if_exists semantics (GNNEmb.py:194-199): trial
-        # params are drawn deterministically, completed trials are restored
-        # from the study file and not re-trained.
-        import json
-        from pathlib import Path
+        return objective_with(params)
 
-        state_path = None
-        done: list = []
-        if storage is not None:
-            state_path = Path(str(storage).replace("sqlite:///", "") + ".json")
-            if state_path.exists():
-                done = json.loads(state_path.read_text())["trials"]
-                if done:
-                    top = max(done, key=lambda t: t["score"])
-                    best.update(score=top["score"], params=top["params"])
-                log(f"resumed study: {len(done)} completed trials")
-        rng = np.random.default_rng(0)
-        tpe = None
-        if sampler == "tpe":
-            from glass_tpu.train.tpe import TPESampler
-
-            tpe = TPESampler(seed=0)
-        for t in range(n_trials):
-            if sampler == "random":
-                # rng drawn for every t (including restored ones) keeps the
-                # trial sequence aligned across resumes
-                params = search_space(
-                    lambda name, choices: choices[rng.integers(len(choices))]
-                )
-                if t < len(done):
-                    continue
-            else:
-                if t < len(done):
-                    continue
-                # TPE is per-trial seeded and otherwise a pure function of
-                # the restored history — resume-deterministic by construction
-                params = tpe.suggest(SEARCH_SPACE, done, t)
-            log(f"trial {t}: {params}")
-            score = objective_with(params)
-            done.append({"params": params, "score": float(score)})
-            if state_path is not None:
-                import os
-
-                state_path.parent.mkdir(parents=True, exist_ok=True)
-                # temp + rename: a kill mid-write must not corrupt the study
-                # file the next resume reads
-                tmp = state_path.with_name(state_path.name + ".tmp")
-                tmp.write_text(json.dumps({"trials": done}))
-                os.replace(tmp, state_path)
-        log(f"best params {best.get('params')}")
-        log(f"best valf1 {best['score']}")
+    study = backend.create_study(
+        direction="maximize",
+        storage=storage,
+        study_name=cfg.dataset,
+        load_if_exists=storage is not None,
+        sampler=sampler_obj,
+    )
+    done = [t for t in study.trials if t.value is not None]
+    if done:
+        top = max(done, key=lambda t: t.value)
+        best.update(score=top.value, params=dict(top.params))
+        log(f"resumed study: {len(done)} completed trials")
+    remaining = max(0, n_trials - len(done))
+    for _ in range(remaining):  # one trial per optimize: log params as drawn
+        study.optimize(obj, n_trials=1)
+        tr = study.trials[-1]
+        log(f"trial {tr.number}: {tr.params} -> {tr.value:.4f}")
+    log(f"best params {study.best_params if study.trials else None}")
+    log(f"best valf1 {best['score']}")
     return best

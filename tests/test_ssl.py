@@ -42,10 +42,11 @@ def test_pretrain_learns_link_prediction(rng):
 
 
 def test_hpo_random_search_resumes_from_study_file(tmp_path, monkeypatch):
-    """The no-optuna random-search fallback persists completed trials and
-    resumes without re-training them (mirrors the optuna sqlite
-    load_if_exists contract, reference GNNEmb.py:194-199)."""
+    """The no-optuna path persists completed trials in SQLITE (the
+    reference's optuna storage contract, GNNEmb.py:194-199) and resumes
+    without re-training them; n_trials is the total study budget."""
     import glass_tpu.train.ssl as ssl
+    from glass_tpu.compat import optuna_lite
 
     calls = []
 
@@ -54,7 +55,7 @@ def test_hpo_random_search_resumes_from_study_file(tmp_path, monkeypatch):
         return 0.5 + 0.01 * len(calls), np.zeros((4, 2), np.float32)
 
     monkeypatch.setattr(ssl, "pretrain", fake_pretrain)
-    # hide optuna if it were ever installed: force the fallback path
+    # hide optuna if it were ever installed: force the shim path
     import builtins
 
     real_import = builtins.__import__
@@ -67,12 +68,12 @@ def test_hpo_random_search_resumes_from_study_file(tmp_path, monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_optuna)
 
     cfg = ssl.SSLConfig(dataset="stub", hidden_dim=2)
-    storage = str(tmp_path / "study")
+    storage = f"sqlite:///{tmp_path / 'study.db'}"
     saved = []
     best1 = ssl.run_hpo(cfg, 4, saved.append, log=lambda *_: None,
                         storage=storage, sampler="random")
     assert len(calls) == 4
-    assert (tmp_path / "study.json").exists()
+    assert (tmp_path / "study.db").exists()
 
     # resume with a larger budget: the 4 completed trials are not re-run
     logs = []
@@ -82,18 +83,17 @@ def test_hpo_random_search_resumes_from_study_file(tmp_path, monkeypatch):
     assert any("resumed study: 4 completed trials" in l for l in logs)
     assert best2["score"] >= best1["score"]
 
-    # deterministic param sequence: trial params in the study file match a
-    # fresh draw of the same seeded search space
-    import json
-
-    trials = json.loads((tmp_path / "study.json").read_text())["trials"]
-    assert len(trials) == 6
-    rng2 = np.random.default_rng(0)
-    for t in trials:
-        expect = ssl.search_space(
-            lambda name, choices: choices[rng2.integers(len(choices))]
-        )
-        assert t["params"] == expect
+    # resume determinism: the interrupted-then-resumed study's trial
+    # sequence equals an uninterrupted 6-trial study's
+    ref_storage = f"sqlite:///{tmp_path / 'ref.db'}"
+    calls.clear()
+    ssl.run_hpo(cfg, 6, lambda e: None, log=lambda *_: None,
+                storage=ref_storage, sampler="random")
+    got = optuna_lite.create_study(
+        "maximize", storage, "stub", load_if_exists=True)
+    ref = optuna_lite.create_study(
+        "maximize", ref_storage, "stub", load_if_exists=True)
+    assert [t.params for t in got.trials] == [t.params for t in ref.trials]
 
 
 def test_pretrained_table_feeds_glass(rng, tmp_path):
@@ -158,11 +158,12 @@ def test_tpe_sampler_concentrates_and_is_resume_deterministic():
 
 
 def test_hpo_tpe_resumes_from_study_file(tmp_path, monkeypatch):
-    """run_hpo's default (TPE) fallback persists completed trials and a
-    resumed study continues with exactly the suggestions the uninterrupted
-    run makes (history-driven determinism instead of rng-sequence
-    alignment)."""
+    """run_hpo's default (TPE shim) persists completed trials in sqlite and
+    a resumed study continues with exactly the suggestions the
+    uninterrupted run makes (suggestions are pure functions of seed, trial
+    number, name, and history)."""
     import glass_tpu.train.ssl as ssl
+    from glass_tpu.compat import optuna_lite
 
     calls = []
 
@@ -184,19 +185,57 @@ def test_hpo_tpe_resumes_from_study_file(tmp_path, monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_optuna)
 
     cfg = ssl.SSLConfig(dataset="stub", hidden_dim=2)
-    import json
 
     # uninterrupted 16-trial reference study
-    ref_storage = str(tmp_path / "ref")
+    ref_storage = f"sqlite:///{tmp_path / 'ref.db'}"
     ssl.run_hpo(cfg, 16, lambda e: None, log=lambda *_: None, storage=ref_storage)
-    ref_trials = json.loads((tmp_path / "ref.json").read_text())["trials"]
 
     # interrupted at 5, resumed to 16: identical trial sequence
-    storage = str(tmp_path / "study")
+    storage = f"sqlite:///{tmp_path / 'study.db'}"
     ssl.run_hpo(cfg, 5, lambda e: None, log=lambda *_: None, storage=storage)
     logs = []
     best = ssl.run_hpo(cfg, 16, lambda e: None, log=logs.append, storage=storage)
     assert any("resumed study: 5 completed trials" in l for l in logs)
-    trials = json.loads((tmp_path / "study.json").read_text())["trials"]
-    assert trials == ref_trials
+    got = optuna_lite.create_study(
+        "maximize", storage, "stub", load_if_exists=True)
+    ref = optuna_lite.create_study(
+        "maximize", ref_storage, "stub", load_if_exists=True)
+    assert [(t.number, t.params, t.value) for t in got.trials] == \
+        [(t.number, t.params, t.value) for t in ref.trials]
     assert best["params"]["aggr"] == "gcn"
+
+
+def test_optuna_lite_study_api(tmp_path):
+    """The shim's optuna API slice: sqlite round-trip, load_if_exists,
+    direction checks, best_params/value, int/float grids."""
+    import pytest
+    from glass_tpu.compat import optuna_lite as ol
+
+    storage = f"sqlite:///{tmp_path / 's.db'}"
+
+    def obj(trial):
+        a = trial.suggest_categorical("a", ["x", "y"])
+        k = trial.suggest_int("k", 2, 5)
+        d = trial.suggest_float("d", 0.0, 0.5, step=0.1)
+        assert a in ("x", "y") and 2 <= k <= 5 and 0.0 <= d <= 0.5
+        return (1.0 if a == "y" else 0.0) + k * 0.01 - d * 0.001
+
+    st = ol.create_study("maximize", storage, "demo", load_if_exists=True,
+                         sampler=ol.LiteTPESampler(seed=1))
+    st.optimize(obj, n_trials=12)
+    assert len(st.trials) == 12
+    assert st.best_value == max(t.value for t in st.trials)
+    assert st.best_params["a"] in ("x", "y")
+
+    # reload: trials restored, numbering continues
+    st2 = ol.create_study("maximize", storage, "demo", load_if_exists=True)
+    assert len(st2.trials) == 12
+    st2.optimize(obj, n_trials=1)
+    assert st2.trials[-1].number == 12
+
+    # direction mismatch on an existing study fails loudly
+    with pytest.raises(ValueError, match="direction"):
+        ol.create_study("minimize", storage, "demo", load_if_exists=True)
+    # duplicate without load_if_exists fails loudly
+    with pytest.raises(ValueError, match="exists"):
+        ol.create_study("maximize", storage, "demo", load_if_exists=False)
