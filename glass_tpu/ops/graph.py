@@ -443,11 +443,10 @@ def build_graph(
                 c_np[sym], r_np[sym], w_np[sym], n_node, rps, dtype=hyb_dt,
                 window=(wb, clo),
             )
-            res_dt = "int8" if want_int8 else bdtype
             bcsr = build_bcsr(r_np[out], c_np[out], w_np[out], n_node,
-                              dtype=res_dt)
+                              dtype=hyb_dt)
             bcsr_t = bcsr if symmetric else build_bcsr(
-                c_np[out], r_np[out], w_np[out], n_node, dtype=res_dt
+                c_np[out], r_np[out], w_np[out], n_node, dtype=hyb_dt
             )
         elif kind == "bcsr":
             # int8 BCSR: per-row dequant scales inside the layout (the
