@@ -612,15 +612,16 @@ def _plan_block_sparse(
     r_, c_ = row[keep], col[keep]
     itemsize = 4 if dense_dtype == "f32" else 2
     # int8 is honored unconditionally by every block-sparse layout since
-    # round 4 (per-row dequant scales). BCSR's cost uses the true 1
-    # byte/entry; the BAND candidates keep the bf16 figure deliberately:
-    # the model's per-group fixed cost predates the affine kernel's
-    # multi-group (gps) amortization, and pricing band streams at 1 byte
-    # let the fixed term dominate and flip the 9M-edge bench graph from
-    # rps=2/w=4 (29 MB, 66 us measured) to rps=4/w=6 (44 MB, 89 us) —
-    # ranking BETWEEN band candidates is stream-bytes-driven at the
-    # conservative figure, which matches measurement.
-    itemsize_bcsr = 1 if dense_dtype == "int8" else itemsize
+    # round 4 (per-row dequant scales), but the TIME model keeps the bf16
+    # byte figures on purpose — both flips were measured wrong on-chip:
+    # (a) band: pricing streams at 1 byte let the per-group fixed term
+    # dominate and moved the 9M-edge bench layout from rps=2/w=4 (29 MB,
+    # 66 us measured) to rps=4/w=6 (44 MB, 89 us); (b) chunked BCSR is
+    # step/dot-bound, not DMA-bound, at GLASS block densities (int8
+    # measured 0.99x of bf16, bench_logs/r4/bcsr8_scale.log) — int8's
+    # BCSR win is the HALVED STORAGE, which the HBM cap below does model
+    # at the true byte count.
+    itemsize_bcsr = itemsize
     itemsize_stream = itemsize
     h_pad = 128  # the common GLASS hidden sizes (<=128) pad to one lane tile
     if r_.size == 0:
