@@ -47,8 +47,7 @@ def main():
           f"backend {jax.default_backend()}", file=sys.stderr)
 
     rng = np.random.default_rng(0)
-    graph = build_graph(ei, None, n, "gcn", materialize_dense=False,
-                        materialize_bcsr=True)
+    graphs = {}  # per adjacency dtype (follows the activation stream)
     x = jnp.asarray(rng.integers(0, 16, size=(n, 1)).astype(np.int32))
     pos = np.stack([rng.choice(n, size=args.sub_size, replace=False)
                     for _ in range(args.batch * args.steps)])
@@ -57,6 +56,15 @@ def main():
     y_b = jnp.asarray(y.reshape(args.steps, args.batch))
 
     for dt in args.dtypes.split(","):
+        # the adjacency dtype follows the activation stream (a bf16 model
+        # over f32 slabs pays ~0.3 ms/step of pure extra slab bytes —
+        # RESULTS.md round 4, the bench.py band-leg fix)
+        adt = "f32" if dt in ("f32", "float32") else "bf16"
+        if adt not in graphs:
+            graphs[adt] = build_graph(ei, None, n, "gcn",
+                                      materialize_dense=False,
+                                      materialize_bcsr=True, dense_dtype=adt)
+        graph = graphs[adt]
         model = GLASS(
             max_deg=16, hidden_channels=args.hidden, num_layers=args.layers,
             output_channels=(2,), pools=("size",), dropout=0.5,
