@@ -278,3 +278,42 @@ def test_oracle_modules_match_functional(rng):
         out_ones = model(torch.tensor(x_int), torch.tensor(ei.astype(np.int64)),
                          torch.tensor(pos), torch.ones(N))
     np.testing.assert_allclose(out_none.numpy(), out_ones.numpy(), rtol=1e-6)
+
+
+def test_remat_knob_is_bit_identical(rng, monkeypatch):
+    """GLASS_TPU_REMAT=1 (the memory knob, README) must change nothing
+    numerically: same loss and bit-equal params after a training epoch."""
+    import jax
+    import jax.numpy as jnp
+    from glass_tpu.nn.modules import GLASS
+    from glass_tpu.ops.graph import build_graph
+    from glass_tpu.train.loop import Trainer, TrainConfig
+
+    n, e = 384, 3000
+    src, dst = rng.integers(0, n, e), rng.integers(0, n, e)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    g = build_graph(ei, None, n, "gcn", materialize_dense=True)
+    x = jnp.asarray(rng.integers(0, 8, size=(n, 1)).astype(np.int32))
+    pos = jnp.asarray(np.stack([rng.choice(n, 8, replace=False)
+                                for _ in range(4)]))
+    y = jnp.asarray(rng.integers(0, 2, 4))
+
+    def run(remat):
+        monkeypatch.setenv("GLASS_TPU_REMAT", remat)
+        model = GLASS(max_deg=8, hidden_channels=16, num_layers=2,
+                      output_channels=(2,), pools=("size",), dropout=0.5,
+                      activation="elu", z_ratio=0.75, jk=True)
+        tr = Trainer(model, g, x, TrainConfig(lr=1e-3, batch_size=4,
+                                              loss="ce", use_z=True),
+                     donate=False)
+        params, opt_state, plateau = tr.init(0, pos)
+        p, o, pl, k, loss = tr.train_epoch(
+            params, opt_state, plateau, jax.random.PRNGKey(0),
+            pos[None], y[None])
+        return float(loss), p
+
+    loss0, p0 = run("0")
+    loss1, p1 = run("1")
+    assert loss0 == loss1
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
