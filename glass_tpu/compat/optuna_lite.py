@@ -42,7 +42,7 @@ class LiteRandomSampler:
     def __init__(self, seed: int = 0):
         self.seed = seed
 
-    def pick(self, name, choices, history, number):
+    def pick(self, name, choices, history, number, direction="maximize"):
         import numpy as np
 
         rng = np.random.default_rng([_name_seed(self.seed, name), number])
@@ -56,13 +56,14 @@ class LiteTPESampler:
         self.seed = seed
         self.n_startup = n_startup
 
-    def pick(self, name, choices, history, number):
+    def pick(self, name, choices, history, number, direction="maximize"):
         from glass_tpu.train.tpe import TPESampler
 
         tpe = TPESampler(seed=_name_seed(self.seed, name),
                          n_startup=self.n_startup)
-        hist = [{"params": t.params, "score": t.value} for t in history
-                if t.value is not None]
+        sign = 1.0 if direction == "maximize" else -1.0  # TPE maximizes
+        hist = [{"params": t.params, "score": sign * t.value}
+                for t in history if t.value is not None]
         return tpe.suggest({name: list(choices)}, hist, number)[name]
 
 
@@ -85,7 +86,8 @@ class Trial:
         if name in self.params:
             return self.params[name]
         v = self._study._sampler.pick(
-            name, list(choices), self._study.trials, self.number
+            name, list(choices), self._study.trials, self.number,
+            direction=self._study.direction,
         )
         self.params[name] = v
         return v

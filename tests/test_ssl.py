@@ -239,3 +239,20 @@ def test_optuna_lite_study_api(tmp_path):
     # duplicate without load_if_exists fails loudly
     with pytest.raises(ValueError, match="exists"):
         ol.create_study("maximize", storage, "demo", load_if_exists=False)
+
+
+def test_optuna_lite_minimize_direction(tmp_path):
+    """A minimize study's TPE must concentrate on LOW objective values (the
+    sampler internally maximizes, so the direction sign matters)."""
+    from glass_tpu.compat import optuna_lite as ol
+
+    def obj(trial):
+        a = trial.suggest_categorical("a", [0, 1, 2, 3])
+        return float(a)  # minimize -> should concentrate on a=0
+
+    st = ol.create_study("minimize", None, "m", sampler=ol.LiteTPESampler(
+        seed=0, n_startup=8))
+    st.optimize(obj, n_trials=50)
+    tail = [t.params["a"] for t in st.trials[25:]]
+    assert tail.count(0) / len(tail) > 0.5, tail
+    assert st.best_value == 0.0
