@@ -333,3 +333,67 @@ def test_protocol_with_int8_bcsr_trains():
     )
     scores, mean, err = run_experiment(cfg, log=lambda *_: None)
     assert 0.0 <= mean <= 1.0
+
+
+@pytest.mark.parametrize("shape", ["scattered", "banded", "selfloops",
+                                   "isolated", "duplicates", "asymmetric"])
+def test_spmm_int8_differential_fuzz(shape):
+    """int8 counterpart of the mode fuzz: every forced int8 layout (bcsr /
+    band / hybrid / dense_q) must stay within quantization tolerance of the
+    f32 dense path on the same awkward patterns — forward AND gradient."""
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(shape.encode()) ^ 0xABCD)
+    n = 300
+    if shape == "banded":
+        src = np.arange(n)
+        dst = np.clip(src + rng.integers(-100, 100, size=n), 0, n - 1)
+        ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    elif shape == "selfloops":
+        src = np.arange(n)
+        ei = np.stack([src, src])
+    elif shape == "isolated":
+        src = rng.integers(0, n // 3, size=400)
+        dst = rng.integers(0, n // 3, size=400)
+        ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    elif shape == "duplicates":
+        src = rng.integers(0, n, size=100)
+        dst = rng.integers(0, n, size=100)
+        src = np.concatenate([src, src, src])
+        dst = np.concatenate([dst, dst, dst])
+        ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    elif shape == "asymmetric":
+        src = rng.integers(0, n, size=600)
+        dst = rng.integers(0, n, size=600)
+        ei = np.stack([src, dst])
+    else:
+        ei = rand_graph(rng, n, 900)
+
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    g_ref = build_graph(ei, None, n, "sum", materialize_dense=True)
+    ref = np.asarray(spmm(g_ref, x, "dense"))
+    ref_grad = np.asarray(jax.grad(
+        lambda v: (spmm(g_ref, v, "dense") ** 2).sum())(x))
+    fscale = max(np.abs(ref).max(), 1e-6)
+    gscale = max(np.abs(ref_grad).max(), 1e-6)
+
+    variants = []
+    for layout in ("bcsr", "band", "hybrid"):
+        try:
+            g = build_graph(ei, None, n, "sum", materialize_dense=False,
+                            materialize_bcsr=True, sparse_layout=layout,
+                            dense_dtype="int8")
+        except (ValueError, NotImplementedError):
+            continue
+        variants.append((g, "pallas", layout))
+    g_q = build_graph(ei, None, n, "sum", materialize_dense=True,
+                      dense_dtype="int8")
+    variants.append((g_q, "dense", "dense_q"))
+
+    for g, mode, tag in variants:
+        out = np.asarray(spmm(g, x, mode))
+        assert np.abs(out - ref).max() / fscale < 2.5e-2, f"{shape}/{tag} fwd"
+        grad = np.asarray(jax.grad(
+            lambda v: (spmm(g, v, mode) ** 2).sum())(x))
+        assert np.abs(grad - ref_grad).max() / gscale < 5e-2, \
+            f"{shape}/{tag} grad"
