@@ -64,3 +64,21 @@ def test_predictor_bucket_reuse_and_overflow(setup):
         pred([[0]] * 3)
     with pytest.raises(ValueError, match="exceeds"):
         pred([[0, 1, 2, 3, 4]])
+
+
+def test_predictor_int8_adjacency(setup, rng):
+    """Serving over an int8 row-quantized adjacency: logits within
+    quantization tolerance of the f32 dense graph (production inference
+    gets the same --dense_dtype knob as training)."""
+    model, g, x, params = setup
+    n = g.n_node
+    ei = np.stack([np.asarray(g.row)[: g.n_edge],
+                   np.asarray(g.col)[: g.n_edge]])
+    g8 = build_graph(ei, np.asarray(g.weight)[: g.n_edge], n, "sum",
+                     materialize_dense=True, dense_dtype="int8")
+    # "sum" + prenormalized weights reproduces g's gcn adjacency exactly
+    subs = [[0, 1], [2, 3, 4], [5]]
+    ref = Predictor(model, g, x, params)(subs)
+    out = Predictor(model, g8, x, params)(subs)
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(out - ref).max() / scale < 3e-2
