@@ -1149,3 +1149,35 @@ def test_sharded_int8_band_matches_unsharded(rng):
     )(jnp.asarray(xp), *gargs)
     gscale = np.abs(ref_grad).max()
     assert np.abs(np.asarray(gout)[:n] - ref_grad).max() / gscale < 4e-2
+
+
+def test_auto_sharding_int8_dense_trains(rng):
+    """GSPMD AutoTrainer over an int8 (dense_q) graph: the quantized Pallas
+    layout rides pjit's auto-sharding as ordinary replicated operands and a
+    data-parallel epoch trains to a finite loss."""
+    from glass_tpu.parallel.auto import AutoTrainer
+    from glass_tpu.train.loop import TrainConfig
+
+    n, e = 256, 2000
+    src, dst = rng.integers(0, n, e), rng.integers(0, n, e)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    g = build_graph(ei, None, n, "gcn", materialize_dense=True,
+                    dense_dtype="int8")
+    assert g.dense_q is not None
+    from glass_tpu.nn.modules import GLASS
+
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=1,
+                  output_channels=(3,), pools=("size",), dropout=0.1,
+                  activation="elu", z_ratio=0.8, jk=True)
+    mesh = make_mesh(graph_shards=1, data_shards=jax.device_count())
+    cfg = TrainConfig(lr=1e-3, batch_size=2 * jax.device_count(), loss="ce",
+                      use_z=True)
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    pos = np.stack([rng.choice(n, 4, replace=False)
+                    for _ in range(cfg.batch_size)])
+    y = rng.integers(0, 3, cfg.batch_size)
+    tr = AutoTrainer(model, g, x, cfg, mesh)
+    p, o, pl = tr.init(0, pos)
+    out = tr.train_epoch(p, o, pl, jax.random.PRNGKey(0),
+                         jnp.asarray(pos[None]), jnp.asarray(y[None]))
+    assert np.isfinite(float(out[-1]))
