@@ -118,7 +118,6 @@ def main():
     ydt = np.float32 if binary else np.int64
     perm = np.random.default_rng(777).permutation(len(trn_pos))
 
-    name_map = None  # filled on first step: torch param name -> flax leaf
     import optax
 
     opt = optax.adam(cfg["lr"], b1=0.9, b2=0.999, eps=1e-8)

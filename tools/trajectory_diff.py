@@ -76,7 +76,6 @@ def run(dataset: str, epochs: int, use_dropout: bool, seed: int = 0):
     base.set_one_feature()
     n = base.n_node
     binary = base.binary
-    score_fn_t = None
 
     trn_pos, trn_y = base.get_split("train")
     val_pos, val_y = base.get_split("valid")
