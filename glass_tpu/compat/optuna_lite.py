@@ -27,6 +27,7 @@ framework's own space (train/ssl.py::SEARCH_SPACE) is fully categorical.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import sqlite3
 import zlib
@@ -128,11 +129,14 @@ class Study:
 
     # ---------------------------------------------------------- sqlite
     def _conn(self):
+        # contextlib.closing: `with sqlite3.connect(...)` alone only
+        # commits/rolls back the transaction — it does NOT close the handle,
+        # so long studies would leak one fd per trial persist.
         self._db_path.parent.mkdir(parents=True, exist_ok=True)
-        return sqlite3.connect(self._db_path)
+        return contextlib.closing(sqlite3.connect(self._db_path))
 
     def _init_db(self):
-        with self._conn() as c:
+        with self._conn() as conn, conn as c:
             c.execute(
                 "CREATE TABLE IF NOT EXISTS studies ("
                 "name TEXT PRIMARY KEY, direction TEXT)"
@@ -154,7 +158,7 @@ class Study:
                 )
 
     def _load(self):
-        with self._conn() as c:
+        with self._conn() as conn, conn as c:
             rows = c.execute(
                 "SELECT number, value, params FROM trials WHERE study=? "
                 "ORDER BY number", (self.study_name,)
@@ -166,7 +170,7 @@ class Study:
     def _persist(self, t: FrozenTrial):
         if self._db_path is None:
             return
-        with self._conn() as c:  # one transaction per trial: kill-safe
+        with self._conn() as conn, conn as c:  # one txn per trial: kill-safe
             c.execute(
                 "INSERT OR REPLACE INTO trials VALUES (?, ?, ?, ?)",
                 (self.study_name, t.number, t.value, json.dumps(t.params)),
@@ -207,7 +211,7 @@ def create_study(direction: str = "minimize", storage: Optional[str] = None,
         if db_path.exists() and not load_if_exists:
             # optuna raises DuplicatedStudyError only if the study NAME
             # exists; mirror per-name semantics
-            with sqlite3.connect(db_path) as c:
+            with contextlib.closing(sqlite3.connect(db_path)) as conn, conn as c:
                 try:
                     hit = c.execute(
                         "SELECT 1 FROM studies WHERE name=?", (study_name,)

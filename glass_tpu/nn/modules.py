@@ -36,7 +36,7 @@ ACTIVATIONS = {
 }
 
 
-def _fused_norm_enabled(n_rows: int) -> bool:
+def _fused_norm_enabled() -> bool:
     """GLASS_TPU_FUSED_NORM: '1' force, '0' off; default off.
 
     The fused Pallas GraphNorm (ops/pallas_norm.py) is formula-exact and
@@ -93,7 +93,7 @@ class GraphNorm(nn.Module):
                 axis=graph.axis, node_mask=graph.node_mask(),
                 n_total=graph.n_global,
             )
-        if x.ndim == 2 and _fused_norm_enabled(x.shape[0]):
+        if x.ndim == 2 and _fused_norm_enabled():
             # fused Pallas forward+backward (ops/pallas_norm.py): identical
             # formula, minimum HBM passes — the unfused backward reductions
             # over (N, H) activations were the dominant non-SpMM step cost

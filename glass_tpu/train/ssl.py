@@ -205,7 +205,12 @@ def run_hpo(
     number, name, history) — resume-deterministic by construction.
 
     ``n_trials`` is the TOTAL study budget: restored trials count against
-    it and are never re-trained. ``sampler="random"`` always uses the
+    it and are never re-trained. NOTE this intentionally diverges from the
+    reference script (GNNEmb.py study.optimize(obj, n_trials=optruns) with
+    load_if_exists=True), where each invocation runs n_trials ADDITIONAL
+    trials on a resumed study — total-budget makes ``--optruns N`` mean the
+    same thing whether or not the study was interrupted; run again with a
+    larger N to extend a finished study. ``sampler="random"`` always uses the
     in-repo shim even when optuna is installed — an explicit random request
     must behave identically in every deployment (and a resumed study must
     never switch samplers with the environment)."""
@@ -259,6 +264,9 @@ def run_hpo(
         study.optimize(obj, n_trials=1)
         tr = study.trials[-1]
         log(f"trial {tr.number}: {tr.params} -> {tr.value:.4f}")
-    log(f"best params {study.best_params if study.trials else None}")
+    # Guard on COMPLETED trials: a study holding only failed/pruned trials
+    # has non-empty .trials but best_params raises (ADVICE r4).
+    completed = [t for t in study.trials if t.value is not None]
+    log(f"best params {study.best_params if completed else None}")
     log(f"best valf1 {best['score']}")
     return best
