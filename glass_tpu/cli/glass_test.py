@@ -94,6 +94,23 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--autotune_file", type=str, default=None,
                         help="calibration JSON path for --autotune (default "
                              "~/.cache/glass_tpu/autotune_<backend>.json)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host: host:port of process 0; passing any "
+                             "of --coordinator/--num_processes/--process_id "
+                             "(or --multihost) bootstraps jax.distributed so "
+                             "the mesh spans every host's devices")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="multi-host: total process count")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="multi-host: this process's rank")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host: bootstrap with jax's own "
+                             "autodetection (TPU pod runtime env)")
+    parser.add_argument("--cpu_collectives", type=str, default=None,
+                        choices=["gloo", "mpi"],
+                        help="multi-host off-TPU: CPU collectives backend")
+    parser.add_argument("--local_devices", type=int, default=None,
+                        help="multi-host off-TPU: CPU device count per process")
     return parser
 
 
@@ -132,6 +149,27 @@ def main(argv=None):
     if args.device == -1:
         jax.config.update("jax_platforms", "cpu")
 
+    log = print
+    if (args.multihost or args.coordinator is not None
+            or args.num_processes is not None or args.process_id is not None):
+        from glass_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+            cpu_collectives=args.cpu_collectives,
+            local_cpu_devices=args.local_devices,
+        )
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}"
+              f" devices={jax.device_count()} local={jax.local_device_count()}",
+              flush=True)
+        if jax.process_index() != 0:
+            # every process computes the identical result; only rank 0 narrates
+            # and writes checkpoints
+            log = lambda msg: None  # noqa: E731
+            args.ckpt_dir = None
+
     if args.autotune:
         from glass_tpu.ops.autotune import ensure_autotune
 
@@ -140,8 +178,8 @@ def main(argv=None):
     from glass_tpu.train.protocol import ExperimentConfig, run_experiment
 
     params = load_config(args.dataset, args.config_dir)
-    print(args)
-    print("params", params, flush=True)
+    log(args)
+    log(f"params {params}")
 
     if args.use_deg:
         feature = "deg"
@@ -181,7 +219,7 @@ def main(argv=None):
         report_auroc=args.report_auroc,
         **params,
     )
-    _, mean, err = run_experiment(cfg)
+    _, mean, err = run_experiment(cfg, log=log)
     return mean, err
 
 

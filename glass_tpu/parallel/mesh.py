@@ -20,10 +20,38 @@ import jax
 from jax.sharding import Mesh
 
 
-def initialize_distributed(**kwargs) -> None:
-    """Multi-host bootstrap (no-op if already initialized)."""
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    cpu_collectives: Optional[str] = None,
+    local_cpu_devices: Optional[int] = None,
+    **kwargs,
+) -> None:
+    """Multi-host bootstrap (no-op if already initialized).
+
+    Must run before any computation touches a backend. On a TPU pod slice the
+    three coordinator args can all be None (jax autodetects from the TPU
+    runtime environment). Off-TPU, ``cpu_collectives`` ("gloo") selects the
+    CPU cross-process collectives implementation and pins the cpu platform,
+    and ``local_cpu_devices`` sets this process's device count — together they
+    form a real multi-process jax cluster on CPUs, which is how
+    tests/test_parallel.py exercises this path (2 processes x 2 devices; the
+    reference has no multi-host story at all — its whole device handling is
+    a CUDA index, GLASSTest.py/impl/config.py).
+    """
+    if cpu_collectives is not None:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
+    if local_cpu_devices is not None:
+        jax.config.update("jax_num_cpu_devices", local_cpu_devices)
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
     except RuntimeError:
         pass  # already initialized
 

@@ -152,6 +152,22 @@ class ShardedTrainer:
                 check_vma=False,
             )
         )
+        # Multi-process runs: a data-sharded output is not fully addressable
+        # on any one host, so np.asarray would fail — gather the logits over
+        # 'data' in-program so every process can read the replicated result.
+        self._multiproc = jax.process_count() > 1
+        if self._multiproc:
+            self._eval_epoch = jax.jit(
+                shard_map(
+                    lambda *a: jax.lax.all_gather(
+                        self._eval_epoch_impl(*a), "data", axis=1, tiled=True
+                    ),
+                    mesh=mesh,
+                    in_specs=(P(), P(None, "data", None), xspec, *gspecs),
+                    out_specs=P(),
+                    check_vma=False,
+                )
+            )
 
     # ----------------------------------------------------------- internals
 

@@ -1181,3 +1181,76 @@ def test_auto_sharding_int8_dense_trains(rng):
     out = tr.train_epoch(p, o, pl, jax.random.PRNGKey(0),
                          jnp.asarray(pos[None]), jnp.asarray(y[None]))
     assert np.isfinite(float(out[-1]))
+
+
+def test_multihost_two_process_cluster_parity():
+    """The multi-host bootstrap EXECUTES: a real 2-process jax cluster over
+    gloo CPU collectives (2 processes x 2 devices) runs the sharded train
+    step and the whole-epoch scan, both ranks agree, and the losses equal
+    the single-process 4-device values to float tolerance. This exercises
+    what single-process shard_map cannot: distributed init ordering,
+    non-addressable mesh devices, cross-process collectives. (The reference
+    has no multi-host story at all — its device handling is a CUDA index,
+    GLASSTest.py:272-275 via impl/config.py.)"""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    repo = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
+    # the workers configure their own device counts (jax_num_cpu_devices=2);
+    # drop this session's 8-virtual-device XLA flag so the two don't fight
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", ""),
+    ).strip()
+
+    cmd = [
+        sys.executable, "-m", "glass_tpu.parallel.multihost",
+        "--coordinator", f"localhost:{port}", "--num_processes", "2",
+        "--cpu_collectives", "gloo", "--local_devices", "2",
+        "--graph_shards", "2", "--data_shards", "2",
+    ]
+    procs = [
+        subprocess.Popen(
+            cmd + ["--process_id", str(i)], env=env, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    blob = "\n".join(outs)
+    if any(p.returncode for p in procs):
+        if re.search(r"gloo|collectives", blob, re.I):
+            pytest.skip(f"gloo CPU collectives unavailable: {blob[-500:]}")
+        raise AssertionError(f"multihost workers failed:\n{blob[-3000:]}")
+
+    losses = []
+    for out in outs:
+        m = re.search(r"step_loss=([\d.]+) epoch_loss=([\d.]+)", out)
+        assert m, f"no losses in worker output:\n{out[-2000:]}"
+        losses.append((float(m.group(1)), float(m.group(2))))
+    assert losses[0] == losses[1], f"ranks disagree: {losses}"
+
+    # single-process reference on 4 of this session's virtual devices
+    from glass_tpu.parallel.multihost import run_smoke
+
+    ref = run_smoke(graph_shards=2, data_shards=2, devices=jax.devices()[:4])
+    np.testing.assert_allclose(
+        losses[0], [ref["step_loss"], ref["epoch_loss"]], rtol=1e-6
+    )
