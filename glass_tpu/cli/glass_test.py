@@ -46,8 +46,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dense_dtype", type=str, default="f32",
                         choices=["f32", "bf16", "int8"],
                         help="adjacency dtype (bf16 = fast non-parity mode; "
-                        "int8 = quantized affine band slabs with per-row "
-                        "dequant scales — other layouts fall back to bf16)")
+                        "int8 = quantized layouts with per-row dequant "
+                        "scales, honored by every layout family — band/BCSR/"
+                        "dense/hybrid/sharded; accuracy parity is "
+                        "statistical, RESULTS.md round 5)")
     parser.add_argument("--compute_dtype", type=str, default=None,
                         choices=["f32", "bf16"],
                         help="bf16 = mixed-precision training (bf16 "

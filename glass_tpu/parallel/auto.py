@@ -57,3 +57,10 @@ class AutoTrainer(Trainer):
             in_shardings=(repl, repl, repl, repl, repl, repl, batched2, batched2),
             out_shardings=(repl, repl, repl, repl, repl),
         )
+        # on-device eval scoring (scalar readback instead of (S, C) logits);
+        # labels/mask share the batch partitioning
+        self._eval_score = jax.jit(
+            self._eval_score_impl,
+            in_shardings=(repl, repl, repl, batched, batched, batched),
+            out_shardings=repl,
+        )

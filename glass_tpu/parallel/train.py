@@ -152,6 +152,19 @@ class ShardedTrainer:
                 check_vma=False,
             )
         )
+        # On-device eval scoring: the metric's TP/FP/FN (or correct/total)
+        # sums are psum'd over 'data' in-program, so an evaluation reads back
+        # ONE replicated scalar instead of the (nb, B, C) logits array.
+        self._eval_score = jax.jit(
+            shard_map(
+                self._eval_score_impl,
+                mesh=mesh,
+                in_specs=(P(), P(None, "data", None), P(None, "data"),
+                          P(None, "data"), xspec, *gspecs),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
         # Multi-process runs: a data-sharded output is not fully addressable
         # on any one host, so np.asarray would fail — gather the logits over
         # 'data' in-program so every process can read the replicated result.
@@ -313,6 +326,17 @@ class ShardedTrainer:
         _, logits = jax.lax.scan(step, None, pos_b)
         return logits
 
+    def _eval_score_impl(self, params, pos_b, y_pad, mask, x, *gargs):
+        """Micro-F1 counts from this data shard's logits, psum'd over 'data'
+        (the metric is a ratio of integer sums, so global counts are exact;
+        the host divides in float64 — see metrics.device_metric_counts)."""
+        from glass_tpu.train.metrics import device_metric_counts
+
+        logits = self._eval_epoch_impl(params, pos_b, x, *gargs)
+        counts = device_metric_counts(logits, y_pad, mask,
+                                      self.cfg.loss == "bce")
+        return jax.lax.psum(counts, "data")
+
     # ------------------------------------------------------------- public
 
     def init(self, seed: int, pos_example: np.ndarray):
@@ -398,3 +422,16 @@ class ShardedTrainer:
             self._eval_epoch(params, jnp.asarray(pos_b), self.x_padded, *self.gparts)
         )
         return logits.reshape(-1, logits.shape[-1])[:n_real]
+
+    def evaluate_score(self, params, pos_b, y_pad, mask) -> float:
+        """Micro-F1 with an O(1) counts readback (Trainer-compatible API);
+        ``y_pad``/``mask`` from metrics.pad_eval_labels. The replicated
+        counts vector is readable on every process of a multi-host run."""
+        from glass_tpu.train.metrics import score_from_counts
+
+        self._check_batch(pos_b[0])
+        counts = self._eval_score(
+            params, jnp.asarray(pos_b), jnp.asarray(y_pad), jnp.asarray(mask),
+            self.x_padded, *self.gparts,
+        )
+        return score_from_counts(counts)

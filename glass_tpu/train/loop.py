@@ -236,6 +236,28 @@ class Trainer:
         logits = np.asarray(self._eval(self.graph, self.x, params, pos_b))
         return logits.reshape(-1, logits.shape[-1])[:n_real]
 
+    def _eval_score_impl(self, graph, x, params, pos_b, y_pad, mask):
+        from glass_tpu.train.metrics import device_metric_counts
+
+        logits = self._eval_impl(graph, x, params, pos_b)
+        return device_metric_counts(logits, y_pad, mask, self.cfg.loss == "bce")
+
+    def evaluate_score(self, params, pos_b, y_pad, mask) -> float:
+        """Micro-F1 with the counts computed inside the eval program: the
+        per-epoch readback is ONE int32 (3,) vector instead of the (S, C)
+        logits array, and the host float64 division makes the value EXACTLY
+        the sklearn path's (test-pinned; reference metric semantics
+        impl/metrics.py:5-20). ``y_pad``/``mask`` from metrics.pad_eval_labels."""
+        from glass_tpu.train.metrics import score_from_counts
+
+        if not hasattr(self, "_eval_score"):
+            self._eval_score = jax.jit(self._eval_score_impl)
+        counts = self._eval_score(
+            self.graph, self.x, params, pos_b, jnp.asarray(y_pad),
+            jnp.asarray(mask),
+        )
+        return score_from_counts(counts)
+
 
 # --------------------------------------------------------------- batching
 

@@ -289,12 +289,32 @@ def _run_one(
     stop_after = 100 / num_div
 
     # eval loaders shuffle (reference GLASSTest.py:118-119): batch composition
-    # sets the zero-one labels, so each evaluation re-draws its batches
+    # sets the zero-one labels, so each evaluation re-draws its batches.
+    # Scores are computed ON DEVICE by default (micro-F1 from psum'd counts,
+    # metrics.device_micro_f1 — test-pinned equal to the sklearn path): each
+    # eval then syncs one scalar instead of an (S, C) logits array, which is
+    # what a degraded remote-TPU tunnel punishes (RESULTS.md round 4: 45x).
+    # GLASS_TPU_HOST_EVAL_METRICS=1 restores the sklearn readback path;
+    # --report_auroc keeps it for test probes (AUROC needs the logits).
+    host_metrics = os.environ.get("GLASS_TPU_HOST_EVAL_METRICS", "0") == "1"
+    device_metrics = not host_metrics and hasattr(trainer, "evaluate_score")
+
+    def _device_score(pos_s, y_s):
+        from glass_tpu.train.metrics import pad_eval_labels
+
+        b, y_p, _ = make_eval_batches(pos_s, y_s, cfg.batch_size, rng)
+        y_pad, mask = pad_eval_labels(y_p, b.shape[0], cfg.batch_size)
+        return trainer.evaluate_score(params, jnp.asarray(b), y_pad, mask)
+
     def val_score_fn():
+        if device_metrics:
+            return _device_score(val_pos, val_y)
         b, y_p, n_real = make_eval_batches(val_pos, val_y, cfg.batch_size, rng)
         return score_fn(trainer.evaluate(params, jnp.asarray(b), n_real), y_p)
 
     def tst_score():
+        if device_metrics and not cfg.report_auroc:
+            return _device_score(tst_pos, tst_y)
         b, y_p, n_real = make_eval_batches(tst_pos, tst_y, cfg.batch_size, rng)
         logits = trainer.evaluate(params, jnp.asarray(b), n_real)
         if cfg.report_auroc:

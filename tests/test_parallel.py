@@ -1254,3 +1254,34 @@ def test_multihost_two_process_cluster_parity():
     np.testing.assert_allclose(
         losses[0], [ref["step_loss"], ref["epoch_loss"]], rtol=1e-6
     )
+
+
+def test_sharded_evaluate_score_matches_host_metric(rng):
+    """ShardedTrainer.evaluate_score (psum'd counts) == the sklearn metric
+    over the gathered logits — on both a ce (multiclass) and bce (binary)
+    head."""
+    from glass_tpu.train.loop import make_eval_batches
+    from glass_tpu.train.metrics import (
+        binary_f1, micro_f1, pad_eval_labels,
+    )
+
+    ei, n = toy(rng)
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    pos = np.stack([rng.choice(n, 4, replace=False) for _ in range(10)])
+    mesh = make_mesh(graph_shards=2, data_shards=4)
+    pg = partition_graph(ei, None, n, "gcn", 2)
+
+    for loss, n_out, ydt in (("ce", 3, np.int64), ("bce", 1, np.float32)):
+        y = rng.integers(0, max(2, n_out), size=10).astype(ydt)
+        model = GLASS(max_deg=4, hidden_channels=8, num_layers=1,
+                      output_channels=(n_out,), pools=("size",), dropout=0.0,
+                      activation="elu", z_ratio=0.8, jk=True)
+        cfg = TrainConfig(lr=1e-3, batch_size=8, loss=loss, use_z=True)
+        tr = ShardedTrainer(model, pg, x, cfg, mesh)
+        params, _, _ = tr.init(0, pos[:8])
+        b, y_p, n_real = make_eval_batches(pos, y, 8)
+        logits = tr.evaluate(params, b, n_real)
+        want = (binary_f1 if loss == "bce" else micro_f1)(logits, y_p)
+        y_pad, mask = pad_eval_labels(y_p, b.shape[0], 8)
+        got = tr.evaluate_score(params, b, y_pad, mask)
+        assert got == want, (loss, got, want)

@@ -199,3 +199,24 @@ def test_gspmd_protocol_run_with_pallas_layout(tmp_path):
     logs = []
     scores, mean, err = run_experiment(cfg, log=logs.append)
     assert len(scores) == 1 and 0.0 <= mean <= 1.0
+
+
+def test_protocol_device_metrics_match_host_metrics(monkeypatch):
+    """The protocol's default on-device eval scoring reproduces the sklearn
+    readback path identically: same per-iter lines, same final score (the
+    counts are exact integers; the host division is float64 both ways)."""
+    from glass_tpu.train.protocol import ExperimentConfig, run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="density", pool="size", aggr="sum", hidden_dim=8,
+        conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=2,
+        resi=0.9, feature="one", repeat=1, max_epochs=25,
+    )
+    runs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("GLASS_TPU_HOST_EVAL_METRICS", mode)
+        logs = []
+        runs[mode] = run_experiment(cfg, log=logs.append)
+        runs[mode + "_logs"] = [l for l in logs if l.startswith("iter")]
+    assert runs["0"][1] == runs["1"][1], (runs["0"], runs["1"])
+    assert runs["0_logs"] == runs["1_logs"]
