@@ -159,6 +159,36 @@ def clustered_graph(n_comm=448, csz=128, e=4500000, intra_frac=0.95):
     return np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])]), n
 
 
+def _traffic_bytes(graph, hidden):
+    """Modeled HBM bytes per forward SpMM on a block-sparse layout: the
+    adjacency stream (slabs/blocks + scales + metadata, read once per
+    iteration), the x panels the kernel DMAs (band: one window per group;
+    BCSR: one column block per stored block), and the f32 output write.
+    A *model*, kept deliberately stable across rounds so the derived
+    roofline fraction tracks regressions rather than absolute truth."""
+    import jax
+
+    adj_leaves = (graph.band if graph.band is not None else graph.bcsr)
+    adj = sum(a.nbytes for a in jax.tree_util.tree_leaves(adj_leaves))
+    if graph.band is not None:
+        b = graph.band
+        x_item = 4 if b.slabs.dtype == np.float32 else 2  # kernel x dtype
+        xb = b.n_groups * b.w_blocks * 128 * hidden * x_item
+    else:
+        c = graph.bcsr
+        x_item = 4 if c.blocks.dtype == np.float32 else 2
+        xb = c.nnz_blocks * 128 * hidden * x_item
+    out = graph.band.n_node if graph.band is not None else graph.bcsr.n_node
+    return adj + xb + out * hidden * 4
+
+
+# The chip's measured HBM bandwidth span (tools/hbm_probe.py, RESULTS.md
+# round 3: XLA copy 660 GB/s .. 2-stream Pallas DMA read 810 GB/s). Roofline
+# fractions are computed against the 810 GB/s upper probe — conservative for
+# utilization claims, and a stable denominator for regression tracking.
+ROOFLINE_GBPS_SPAN = (660.0, 810.0)
+
+
 def bench_bcsr_large(hidden=64):
     """Block-sparse kernel at em_user scale: f32 and bf16 forward, plus
     training (fwd + transposed-kernel bwd) throughput, all differentially
@@ -178,6 +208,7 @@ def bench_bcsr_large(hidden=64):
 
     best = 0.0
     per_dtype = {}
+    per_dtype_gbps = {}
     for ddtype in ("f32", "bf16", "int8"):
         graph = build_graph(ei, None, n, "gcn", materialize_dense=False,
                             materialize_bcsr=True, dense_dtype=ddtype)
@@ -207,9 +238,18 @@ def bench_bcsr_large(hidden=64):
 
         dt = _diff_timed(make_fwd, (x,), 200, 800)
         eps = graph.n_edge / dt
+        gbps = _traffic_bytes(graph, hidden) / dt / 1e9
+        frac = gbps / ROOFLINE_GBPS_SPAN[1]
         print(f"  glass_tpu spmm[pallas-{ddtype}]: {dt * 1e6:.1f} us/iter"
-              f" = {eps / 1e9:.3f} G edges/s", file=sys.stderr)
+              f" = {eps / 1e9:.3f} G edges/s = {gbps:.0f} GB/s eff"
+              f" ({100 * frac:.0f}% of the {ROOFLINE_GBPS_SPAN[1]:.0f} GB/s"
+              f" probe)", file=sys.stderr)
+        if ddtype in ("f32", "bf16") and frac < 0.5:
+            print(f"  WARNING: pallas-{ddtype} at {100 * frac:.0f}% of "
+                  f"roofline — utilization regression (or tunnel weather; "
+                  f"re-run to confirm)", file=sys.stderr)
         per_dtype[ddtype] = eps
+        per_dtype_gbps[ddtype] = gbps
         best = max(best, eps)
 
         # training: fwd + bwd (dx = A^T @ g through the same kernel);
@@ -235,7 +275,7 @@ def bench_bcsr_large(hidden=64):
         print(f"  glass_tpu spmm[pallas-{ddtype}] fwd+bwd: "
               f"{dt * 1e6:.1f} us/iter = {teps / 1e9:.3f} G edges/s "
               f"({100 * teps / (2 * eps):.0f}% of fwd-only)", file=sys.stderr)
-    return best, per_dtype, ei, n
+    return best, per_dtype, per_dtype_gbps, ei, n
 
 
 def bench_e2e_training(ei, n, hidden=64, layers=1, batch=6, sub_size=32,
@@ -364,7 +404,7 @@ def main():
           file=sys.stderr)
 
     # em_user-scale block-sparse graph: the Pallas BCSR regime (headline)
-    ours, per_dtype, ei_big, n_big = bench_bcsr_large()
+    ours, per_dtype, per_dtype_gbps, ei_big, n_big = bench_bcsr_large()
     theirs = bench_torch_reference(ei_big, n_big, iters=3)
 
     # end-to-end training leg on the same 9M-edge graph (VERDICT r2 item 7a);
@@ -391,6 +431,17 @@ def main():
         "e2e_dense_bf16_steps_per_s": round(d_bf16_sps, 1),
         "e2e_dense_int8_steps_per_s": round(d_int8_sps, 1),
         "per_dtype_edges_per_s": {k: round(v, 1) for k, v in per_dtype.items()},
+        # modeled HBM traffic / measured time, vs the hbm_probe upper bound
+        # (VERDICT r4 item 8: utilization regressions stay visible even when
+        # absolute edges/s drift with tunnel weather)
+        "per_dtype_effective_gbps": {
+            k: round(v, 1) for k, v in per_dtype_gbps.items()
+        },
+        "per_dtype_frac_of_roofline": {
+            k: round(v / ROOFLINE_GBPS_SPAN[1], 3)
+            for k, v in per_dtype_gbps.items()
+        },
+        "roofline_gbps_span": list(ROOFLINE_GBPS_SPAN),
         "density_vs_torch_cpu": round(small_ours / small_theirs, 3),
     }))
 

@@ -82,8 +82,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "all-gather (with --graph_shards > 1)")
     parser.add_argument("--sharding", type=str, default=None,
                         choices=["auto"],
-                        help="'auto': GSPMD DP (replicated graph, annotated "
-                             "batch dim) instead of explicit shard_map")
+                        help="'auto': GSPMD (annotated batch dim; with "
+                             "--graph_shards > 1 the dense adjacency's rows "
+                             "are annotated over 'graph' and XLA partitions "
+                             "the whole-graph SpMM) instead of explicit "
+                             "shard_map")
     parser.add_argument("--report_auroc", action="store_true",
                         help="also log test AUROC at each test probe "
                              "(reference metrics.py implements auroc but "

@@ -88,9 +88,11 @@ class ExperimentConfig:
     # ppermute-ring halo exchange instead of the tiled all-gather (sharded
     # segment-path runs; O(block) activation memory per shard)
     ring: bool = False
-    # "auto": GSPMD data parallelism (graph replicated, batch dim annotated,
-    # XLA inserts collectives) — requires graph_shards == 1. Default: the
-    # explicit shard_map path when any shard count > 1.
+    # "auto": GSPMD (batch dim annotated over 'data'; with graph_shards > 1
+    # the DENSE adjacency's rows are annotated over 'graph' and XLA
+    # partitions the whole-graph SpMM — dense layout only, since Pallas
+    # kernels cannot be auto-partitioned). Default: the explicit shard_map
+    # path when any shard count > 1.
     sharding: Optional[str] = None
     # block-sparse layout for --spmm pallas: "auto" (cost-model planner) |
     # "bcsr" | "band" | "hybrid" — applies to both the single-device
@@ -226,16 +228,17 @@ def _run_one(
     if trainer is None:
         x = jnp.asarray(base.x.astype(np.int32))
         if cfg.sharding == "auto":
-            if cfg.graph_shards > 1:
-                raise ValueError(
-                    "sharding='auto' is GSPMD data parallelism over a "
-                    "replicated graph; use the default explicit mode for "
-                    "graph_shards > 1"
-                )
+            # GSPMD: batch over 'data'; with graph_shards > 1 the dense
+            # adjacency's rows are annotated over 'graph' and XLA partitions
+            # the whole-graph SpMM itself (measured at parity with the
+            # explicit dense shard_map path — tools/gspmd_graph_ab.py;
+            # AutoTrainer raises if the planner produced no dense layout,
+            # since Pallas kernels cannot be auto-partitioned).
             from glass_tpu.parallel.auto import AutoTrainer
             from glass_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(graph_shards=1, data_shards=cfg.data_shards)
+            mesh = make_mesh(graph_shards=cfg.graph_shards,
+                             data_shards=cfg.data_shards)
             graph = build_graph(
                 base.edge_index, base.edge_weight, base.n_node, cfg.aggr,
                 materialize_dense=(

@@ -1285,3 +1285,49 @@ def test_sharded_evaluate_score_matches_host_metric(rng):
         y_pad, mask = pad_eval_labels(y_p, b.shape[0], 8)
         got = tr.evaluate_score(params, b, y_pad, mask)
         assert got == want, (loss, got, want)
+
+
+def test_auto_sharding_graph_axis_matches_replicated(rng):
+    """GSPMD with the dense adjacency's rows annotated over 'graph'
+    (round-5: the graph_shards==1 restriction reversed for the dense
+    layout) is the SAME program as the replicated run, partitioned — the
+    epoch losses must agree to float tolerance, and a Pallas-layout graph
+    must be rejected with a clear error."""
+    from glass_tpu.parallel.auto import AutoTrainer
+    from glass_tpu.train.loop import TrainConfig
+
+    n, e = 256, 2000
+    src, dst = rng.integers(0, n, e), rng.integers(0, n, e)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    g = build_graph(ei, None, n, "gcn", materialize_dense=True)
+    model = GLASS(max_deg=4, hidden_channels=8, num_layers=1,
+                  output_channels=(3,), pools=("size",), dropout=0.1,
+                  activation="elu", z_ratio=0.8, jk=True, spmm_mode="dense")
+    cfg = TrainConfig(lr=1e-3, batch_size=4, loss="ce", use_z=True)
+    x = rng.integers(0, 5, size=(n, 1)).astype(np.int64)
+    pos = np.stack([rng.choice(n, 4, replace=False) for _ in range(8)])
+    y = rng.integers(0, 3, 8)
+    pos_b, y_b = jnp.asarray(pos.reshape(2, 4, 4)), jnp.asarray(y.reshape(2, 4))
+
+    losses = {}
+    for gs, ds in ((1, 1), (4, 2), (8, 1)):
+        devs = jax.devices()[: gs * ds]
+        tr = AutoTrainer(model, g, jnp.asarray(x.astype(np.int32)), cfg,
+                         make_mesh(graph_shards=gs, data_shards=ds,
+                                   devices=devs))
+        p, o, pl = tr.init(0, jnp.asarray(pos[:4]))
+        out = tr.train_epoch(p, o, pl, jax.random.PRNGKey(0), pos_b, y_b)
+        losses[(gs, ds)] = float(out[-1])
+    base = losses[(1, 1)]
+    for k, v in losses.items():
+        np.testing.assert_allclose(v, base, rtol=1e-5, err_msg=str(k))
+
+    # n=256 is not a multiple of 8 blocks of 128 — GSPMD handles the
+    # non-divisible row sharding internally (no padding on our side)
+
+    g_band = build_graph(ei, None, n, "gcn", materialize_dense=False,
+                         materialize_bcsr=True, sparse_layout="bcsr")
+    assert g_band.dense is None
+    with pytest.raises(ValueError, match="auto-partitioned"):
+        AutoTrainer(model, g_band, jnp.asarray(x.astype(np.int32)), cfg,
+                    make_mesh(graph_shards=8, data_shards=1))
