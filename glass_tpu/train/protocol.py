@@ -195,6 +195,12 @@ def _run_one(
     apply_feature(base, cfg.feature)
 
     spmm_mode, use_rcm = _auto_route(cfg, base.n_node, jax.default_backend())
+    if cfg.sparse_layout != "auto" and spmm_mode != "pallas":
+        # an explicit layout request that the execution route ignores is a
+        # silent no-op users (and round-5 us) mistake for a real A/B
+        log(f"warning: --sparse_layout {cfg.sparse_layout} has no effect "
+            f"without the pallas route (effective spmm mode: "
+            f"{spmm_mode or 'auto/dense'}); pass --spmm pallas to force it")
     if use_rcm:
         from glass_tpu.native import rcm_ordering
 

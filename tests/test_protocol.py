@@ -220,3 +220,19 @@ def test_protocol_device_metrics_match_host_metrics(monkeypatch):
         runs[mode + "_logs"] = [l for l in logs if l.startswith("iter")]
     assert runs["0"][1] == runs["1"][1], (runs["0"], runs["1"])
     assert runs["0_logs"] == runs["1_logs"]
+
+
+def test_inert_sparse_layout_warns():
+    """An explicit --sparse_layout that the execution route ignores logs a
+    warning (round-5: a 'band' sweep silently ran the dense path)."""
+    from glass_tpu.train.protocol import ExperimentConfig, run_experiment
+
+    cfg = ExperimentConfig(
+        dataset="density", pool="size", aggr="sum", hidden_dim=8,
+        conv_layer=1, dropout=0.0, lr=1e-3, z_ratio=1.0, batch_size=2,
+        resi=0.9, feature="one", repeat=1, max_epochs=2,
+        sparse_layout="band",
+    )
+    logs = []
+    run_experiment(cfg, log=logs.append)
+    assert any("no effect" in str(l) for l in logs), logs[:5]
