@@ -341,14 +341,19 @@ def build_graph(
                     r_np[keep_m], c_np[keep_m], np.ones(int(keep_m.sum())),
                     n_node, rps,
                 )
-                stored_bytes = nbytes_b * (itemsize_d / 4)
+                # TRUE stored bytes (1 for int8): the cap guards MEMORY —
+                # unlike the ranking model, which deliberately prices int8
+                # streams at bf16 bytes (round-4 time-model decision)
+                stored_bytes = nbytes_b * (
+                    (1 if dense_dtype == "int8" else itemsize_d) / 4)
             elif kind == "hybrid":
                 # band-part slabs + outlier BCSR blocks, so a hybrid winner
                 # is held to the same HBM cap as the single layouts
+                itemsize_h = 1 if dense_dtype == "int8" else itemsize_d
                 n_cb_h = -(-n_node // BCSR_BLOCK)
                 n_g_h = -(-n_cb_h // rps)
                 band_bytes = (
-                    n_g_h * rps * BCSR_BLOCK * wb * BCSR_BLOCK * itemsize_d
+                    n_g_h * rps * BCSR_BLOCK * wb * BCSR_BLOCK * itemsize_h
                 )
                 keep_m = w_np != 0
                 _, in_b = pallas_band.plan_windows(
@@ -360,9 +365,9 @@ def build_graph(
                     (ro // BCSR_BLOCK) * n_cb_h + co // BCSR_BLOCK
                 ).size
                 stored_bytes = band_bytes + (
-                    n_blk_o * BCSR_BLOCK * BCSR_BLOCK * itemsize_d
+                    n_blk_o * BCSR_BLOCK * BCSR_BLOCK * itemsize_h
                 )
-            if stored_bytes > _LAYOUT_BYTES_CAP:
+            if stored_bytes > _layout_bytes_cap():
                 sparse_best = float("inf")
             if dense_bytes > _DENSE_MXU_BYTES_CAP:
                 dense_cost = float("inf")
@@ -497,6 +502,18 @@ _BAND_STREAM_BPS = 150e9
 # planner mistake can never eat the HBM (v5e: 16 GiB).
 _DENSE_MXU_BYTES_CAP = 2 << 30  # 2 GiB adjacency
 _LAYOUT_BYTES_CAP = 4 << 30  # max stored block-sparse layout (one direction)
+
+
+def _layout_bytes_cap() -> int:
+    """GLASS_TPU_LAYOUT_BYTES_CAP_GIB overrides the 4 GiB default — the
+    round-5 max-scale ladder hits this cap (planner falls to the segment
+    path) well before the chip's HBM does; raising it is safe while
+    2 x cap + 6·n·hidden·4 stays under the chip's free HBM (KERNELS.md
+    budget formula; both the forward and transposed layouts are stored)."""
+    import os
+
+    gib = os.environ.get("GLASS_TPU_LAYOUT_BYTES_CAP_GIB")
+    return int(float(gib) * (1 << 30)) if gib else _LAYOUT_BYTES_CAP
 _MXU_FLOPS = {"bf16": 180e12, "f32": 45e12}  # v5e ~197T bf16; f32 ~1/4
 
 # Segment-path fallback model: XLA row gather/scatter streams ~16 GB/s

@@ -93,10 +93,15 @@ def probe_scale(scale: float, hidden: int, steps_hi: int, batch=6,
         rec["layout"] = (f"band(rps={b.rps}, w={b.w_blocks}, "
                          f"groups={b.n_groups}, affine="
                          f"{(b.affine_stride, b.affine_off)})")
-    else:
+    elif graph.bcsr is not None:
         c = graph.bcsr
         layout_bytes = int(c.blocks.size * c.blocks.dtype.itemsize)
         rec["layout"] = f"bcsr({c.nnz_blocks} blocks)"
+    else:
+        # planner disqualified every materialized layout (HBM cap,
+        # GLASS_TPU_LAYOUT_BYTES_CAP_GIB) — the segment path still trains
+        layout_bytes = 0
+        rec["layout"] = "segment (stored layouts over the planner HBM cap)"
     rec["layout_mb"] = round(layout_bytes / 1e6, 1)
     print(f"[scale {scale}] layout {rec['layout']}: {rec['layout_mb']} MB, "
           f"built in {rec['t_layout_build_s']} s", file=sys.stderr, flush=True)
@@ -112,10 +117,12 @@ def probe_scale(scale: float, hidden: int, steps_hi: int, batch=6,
     x = jnp.asarray(rng.integers(0, 16, size=(n, 1)).astype(np.int32))
     pos_all = rng.integers(0, n, size=(steps_hi, batch, sub_size))
     y_all = rng.integers(0, 2, size=(steps_hi, batch)).astype(np.int64)
+    spmm_mode = ("pallas" if (graph.band is not None or graph.bcsr is not None)
+                 else "segment")
     model = GLASS(max_deg=16, hidden_channels=hidden, num_layers=layers,
                   output_channels=(2,), pools=("size",), dropout=0.5,
                   activation="elu", z_ratio=0.75, jk=True,
-                  spmm_mode="pallas", dtype="bfloat16")
+                  spmm_mode=spmm_mode, dtype="bfloat16")
     cfg = TrainConfig(lr=1e-3, batch_size=batch, loss="ce", use_z=True)
     tr = Trainer(model, graph, x, cfg, donate=False)
     params, opt_state, plateau = tr.init(0, jnp.asarray(pos_all[0]))
