@@ -393,25 +393,32 @@ def build_graph(
         if kind == "band":
             itemsize_b = 4 if dense_dtype == "f32" else 2
 
-            def _maybe_affine(rr, cc, ww, rps_):
+            def _maybe_affine(rr, cc, ww, rps_, span):
                 """Affine (block-DIA) law when its byte inflation over the
                 per-group windows stays under 1.5x: the static affine kernel
                 runs 2 DMAs per multi-group step instead of 1+ per group,
                 which the measured per-DMA fixed cost (~1.3 us; see
-                RESULTS.md round 3) makes worth up to ~1.5x extra bytes."""
-                fit = pallas_band.affine_fit(rr, cc, ww, n_node, rps_)
+                RESULTS.md round 3) makes worth up to ~1.5x extra bytes.
+                ``span``: one precomputed rowblock_spans pass serves both
+                the fit and the per-group width below (36M-edge builds
+                spent ~24 s in this function's two edge passes)."""
+                fit = pallas_band.affine_fit(rr, cc, ww, n_node, rps_,
+                                             rb_span=span)
                 if fit is None:
                     return None
                 _, _, w_aff = fit
                 wb_pg, _, _, _ = pallas_band.band_stats(
-                    rr, cc, np.ones_like(rr), n_node, rps_
+                    rr, cc, np.ones_like(rr), n_node, rps_, rb_span=span
                 )
                 if w_aff <= max(wb_pg + 1, int(1.5 * wb_pg)) and \
                         pallas_band.band_vmem_ok(rps_, w_aff, 128, itemsize_b):
                     return fit
                 return None
 
-            aff = _maybe_affine(r_, c_, w_, rps)
+            keep_b = w_np != 0
+            span_f = pallas_band.rowblock_spans(
+                r_np[keep_b], c_np[keep_b], n_node)
+            aff = _maybe_affine(r_, c_, w_, rps, span_f)
             # int8 is layout-independent since round 4 (affine kernels
             # dequant in-VMEM; per-group kernels dequant the output rows)
             bdt = "int8" if want_int8 else bdtype
@@ -420,7 +427,9 @@ def build_graph(
             if symmetric:
                 band_t = band
             else:
-                aff_t = _maybe_affine(c_, r_, w_, rps_t)
+                span_t = pallas_band.rowblock_spans(
+                    c_np[keep_b], r_np[keep_b], n_node)
+                aff_t = _maybe_affine(c_, r_, w_, rps_t, span_t)
                 band_t = pallas_band.build_band(
                     c_, r_, w_, n_node, rps_t, dtype=bdt, affine=aff_t
                 )
@@ -657,9 +666,12 @@ def _plan_block_sparse(
     best = ("bcsr", None, None)
     best_cost = bcsr_cost
 
+    # one O(E) pass serves every rps candidate's window statistics
+    rb_span = pallas_band.rowblock_spans(r_, c_, n_node)
     band_candidates = []  # (cost, rps, full_w)
     for rps in (1, 2, 4, 8, 16):
-        wb, _, nbytes, n_g = pallas_band.band_stats(r_, c_, ones, n_node, rps)
+        wb, _, nbytes, n_g = pallas_band.band_stats(r_, c_, ones, n_node, rps,
+                                                    rb_span=rb_span)
         if not pallas_band.band_vmem_ok(rps, wb, h_pad, itemsize):
             continue
         cost = n_g * band_step_s + nbytes * (itemsize_stream / 4) / stream_bps

@@ -139,20 +139,44 @@ def _group_minmax(g, v, n_g: int, v_default_lo: int):
     return lo, hi
 
 
-def band_stats(row, col, weight, n_node: int, rps: int, n_col=None):
-    """Host-side window statistics for the banded layout (cheap: no slab
-    materialization). Returns (w_blocks, clo, slab_bytes_f32, n_groups).
-    ``n_col``: column count for rectangular layouts (default: square)."""
+def rowblock_spans(row, col, n_node: int, n_col=None):
+    """Per-ROW-BLOCK column-block (lo, hi+1) spans in ONE edge pass.
+
+    The planner scores several ``rps`` candidates; each band_stats call
+    otherwise re-reduces all edges (45 s of a 36M-edge build was exactly
+    this). Group spans for ANY rps are min/max reductions of these n_rb
+    per-block spans — an O(n_rb) reduceat instead of an O(E) pass. Pass the
+    result as ``rb_span=`` to :func:`band_stats`."""
     row = np.asarray(row)
     col = np.asarray(col)
-    keep = np.asarray(weight) != 0
-    row, col = row[keep], col[keep]
+    n_rb = -(-n_node // BLOCK)
+    n_cb = -(-(n_col if n_col is not None else n_node) // BLOCK)
+    return _group_minmax(row // BLOCK, col // BLOCK, n_rb, n_cb)
+
+
+def band_stats(row, col, weight, n_node: int, rps: int, n_col=None,
+               rb_span=None):
+    """Host-side window statistics for the banded layout (cheap: no slab
+    materialization). Returns (w_blocks, clo, slab_bytes_f32, n_groups).
+    ``n_col``: column count for rectangular layouts (default: square).
+    ``rb_span``: optional precomputed :func:`rowblock_spans` (skips the
+    O(E) pass; ``row``/``col``/``weight`` are then ignored)."""
     n_rb = -(-n_node // BLOCK)
     n_cb = -(-(n_col if n_col is not None else n_node) // BLOCK)
     n_g = -(-n_rb // rps)
-    g = (row // BLOCK) // rps
-    cb = col // BLOCK
-    lo, hi = _group_minmax(g, cb, n_g, n_cb)
+    if rb_span is not None:
+        lo_rb, hi_rb = rb_span
+        first = np.arange(0, n_rb, rps)
+        lo = np.minimum.reduceat(lo_rb, first)
+        hi = np.maximum.reduceat(hi_rb, first)
+    else:
+        row = np.asarray(row)
+        col = np.asarray(col)
+        keep = np.asarray(weight) != 0
+        row, col = row[keep], col[keep]
+        g = (row // BLOCK) // rps
+        cb = col // BLOCK
+        lo, hi = _group_minmax(g, cb, n_g, n_cb)
     width = np.maximum(hi - lo, 1)
     w = int(width.max()) if width.size else 1
     w = min(w, n_cb)
@@ -251,7 +275,8 @@ def best_windows(cs, w: int):
     return clo, covered
 
 
-def affine_fit(row, col, weight, n_node: int, rps: int, n_col=None):
+def affine_fit(row, col, weight, n_node: int, rps: int, n_col=None,
+               rb_span=None):
     """Fits an affine window law clo[g] = g*stride + off over the row-block
     groups (the block-DIA view of an RCM-ordered graph). Returns
     ``(stride, off, w_blocks)`` such that every group's column span fits
@@ -259,17 +284,27 @@ def affine_fit(row, col, weight, n_node: int, rps: int, n_col=None):
 
     ``off`` may be negative (top edge) and windows may overhang n_cb at the
     bottom — the SpMM pads x instead of clamping, preserving the exact
-    affine law the static kernel relies on."""
-    row = np.asarray(row)
-    col = np.asarray(col)
-    keep = np.asarray(weight) != 0
-    row, col = row[keep], col[keep]
-    if row.size == 0:
-        return None
+    affine law the static kernel relies on.
+    ``rb_span``: optional precomputed :func:`rowblock_spans` over the
+    nonzero-weight edges (skips this function's own O(E) pass)."""
     n_rb = -(-n_node // BLOCK)
     n_cb = -(-(n_col if n_col is not None else n_node) // BLOCK)
     n_g = -(-n_rb // rps)
-    lo, hi = _group_minmax((row // BLOCK) // rps, col // BLOCK, n_g, n_cb)
+    if rb_span is not None:
+        lo_rb, hi_rb = rb_span
+        if not np.any(hi_rb > 0):
+            return None
+        first = np.arange(0, n_rb, rps)
+        lo = np.minimum.reduceat(lo_rb, first)
+        hi = np.maximum.reduceat(hi_rb, first)
+    else:
+        row = np.asarray(row)
+        col = np.asarray(col)
+        keep = np.asarray(weight) != 0
+        row, col = row[keep], col[keep]
+        if row.size == 0:
+            return None
+        lo, hi = _group_minmax((row // BLOCK) // rps, col // BLOCK, n_g, n_cb)
     present = hi > 0
     g = np.flatnonzero(present)
     if g.size == 1:
