@@ -15,6 +15,7 @@
 
 #include <algorithm>
 #ifdef _OPENMP
+#include <omp.h>
 #include <parallel/algorithm>
 #endif
 #include <cstdint>
@@ -198,15 +199,54 @@ int glass_band_fill(const int64_t* row, const int64_t* col, const double* w,
   const int64_t slab_cols = wb * 128;
   const int64_t slab_sz = rows_per_g * slab_cols;
   std::vector<double> acc(static_cast<size_t>(n_g) * slab_sz, 0.0);
-  for (int64_t i = 0; i < e; ++i) {
-    const int64_t g = (row[i] / 128) / rps;
-    if (g < 0 || g >= n_g) return 1;
-    const int64_t lr = row[i] - g * rows_per_g;
-    const int64_t lc = col[i] - static_cast<int64_t>(clo[g]) * 128;
-    if (lr < 0 || lr >= rows_per_g || lc < 0 || lc >= slab_cols) return 1;
-    acc[g * slab_sz + lr * slab_cols + lc] += w[i];
+  // Row-sorted inputs (the builder's normal case) fill in parallel: each
+  // thread owns a contiguous GROUP range, so every accumulator slot is
+  // touched by exactly one thread in original edge order — bit-identical
+  // to the sequential pass (f64 accumulation order per slot unchanged).
+  bool sorted = true;
+  for (int64_t i = 1; i < e; ++i) {
+    if (row[i] < row[i - 1]) { sorted = false; break; }
   }
+  int bad = 0;
+  if (sorted && e > 0) {
+#pragma omp parallel reduction(|| : bad)
+    {
+#ifdef _OPENMP
+      const int T = omp_get_num_threads();
+      const int t = omp_get_thread_num();
+#else
+      const int T = 1, t = 0;
+#endif
+      const int64_t g_lo = n_g * t / T, g_hi = n_g * (t + 1) / T;
+      const int64_t* lo_p =
+          std::lower_bound(row, row + e, g_lo * rows_per_g);
+      const int64_t* hi_p =
+          std::lower_bound(row, row + e, g_hi * rows_per_g);
+      for (int64_t i = lo_p - row; i < hi_p - row; ++i) {
+        const int64_t g = (row[i] / 128) / rps;
+        if (g < 0 || g >= n_g) { bad = 1; break; }
+        const int64_t lr = row[i] - g * rows_per_g;
+        const int64_t lc = col[i] - static_cast<int64_t>(clo[g]) * 128;
+        if (lr < 0 || lr >= rows_per_g || lc < 0 || lc >= slab_cols) {
+          bad = 1;
+          break;
+        }
+        acc[g * slab_sz + lr * slab_cols + lc] += w[i];
+      }
+    }
+  } else {
+    for (int64_t i = 0; i < e; ++i) {
+      const int64_t g = (row[i] / 128) / rps;
+      if (g < 0 || g >= n_g) return 1;
+      const int64_t lr = row[i] - g * rows_per_g;
+      const int64_t lc = col[i] - static_cast<int64_t>(clo[g]) * 128;
+      if (lr < 0 || lr >= rows_per_g || lc < 0 || lc >= slab_cols) return 1;
+      acc[g * slab_sz + lr * slab_cols + lc] += w[i];
+    }
+  }
+  if (bad) return 1;
   const int64_t total = n_g * slab_sz;
+#pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < total; ++i) out[i] = static_cast<float>(acc[i]);
   return 0;
 }
